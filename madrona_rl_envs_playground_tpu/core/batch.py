@@ -94,6 +94,13 @@ def batched_step(env, bstate: BatchState, actions: Array) -> Tuple[BatchState, S
     return BatchState(env_states=s4, episode_counter=counter2), out
 
 
+# Module-level jits keyed on the (hashable) env config so compilations are
+# shared across Simulator instances of the same env — the analog of the
+# reference's MADRONA_MWGPU_KERNEL_CACHE (src/hanabi_env/README.org:46-56).
+_jit_reset = jax.jit(batched_reset, static_argnums=(0, 1, 2))
+_jit_step = jax.jit(batched_step, static_argnums=(0,), donate_argnums=(1,))
+
+
 class Simulator:
     """Owns the jitted step/reset for one env config — the Manager analog.
 
@@ -101,33 +108,21 @@ class Simulator:
     (the zero-copy analog of the reference's exported in-place tensors).
     """
 
-    def __init__(self, env, num_envs: int, sharding=None):
+    def __init__(self, env, num_envs: int, sharding=None, start_episode: int = 0):
         self.env = env
         self.num_envs = num_envs
         self.sharding = sharding
+        self._start_episode = start_episode
 
-        reset_fn = functools.partial(batched_reset, env, num_envs)
-        step_fn = functools.partial(batched_step, env)
+        self.bstate, self.last_out = _jit_reset(env, num_envs, start_episode)
         if sharding is not None:
-            self._reset = jax.jit(reset_fn, out_shardings=None)
-            self._step = jax.jit(step_fn, donate_argnums=(0,))
-        else:
-            self._reset = jax.jit(reset_fn)
-            self._step = jax.jit(step_fn, donate_argnums=(0,))
-
-        self.bstate, self.last_out = self._reset()
-        if sharding is not None:
-            self.bstate = jax.device_put(self.bstate, self._state_sharding())
-            self.last_out = jax.device_put(self.last_out, self._state_sharding())
-
-    def _state_sharding(self):
-        return self.sharding
+            self.bstate = jax.device_put(self.bstate, sharding)
 
     def step(self, actions: Array) -> StepOutput:
         """actions: int32 [N, P] (world-major, matching our canonical layout)."""
-        self.bstate, self.last_out = self._step(self.bstate, actions)
+        self.bstate, self.last_out = _jit_step(self.env, self.bstate, actions)
         return self.last_out
 
     def reset(self) -> StepOutput:
-        self.bstate, self.last_out = self._reset()
+        self.bstate, self.last_out = _jit_reset(self.env, self.num_envs, self._start_episode)
         return self.last_out

@@ -15,6 +15,7 @@ import chex
 import jax.numpy as jnp
 
 from ..core import rng
+from ..core.base import EnvBase
 
 Array = jnp.ndarray
 
@@ -42,7 +43,7 @@ class State:
     rng_v: Array  # uint32 LCG word of the live episode
 
 
-class Env:
+class Env(EnvBase):
     num_agents = 1
     obs_size = 4
     state_size = 4

@@ -1,0 +1,68 @@
+"""Differential validation of both Overcooked variants against the sequential
+numpy oracle, mirroring the reference harness
+(``scripts/overcooked_example.py --validation --asserts``)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from madrona_rl_envs_playground_tpu.core import Simulator
+from madrona_rl_envs_playground_tpu.envs import overcooked, overcooked2
+from madrona_rl_envs_playground_tpu.envs.layouts import get_base_layout_params
+from madrona_rl_envs_playground_tpu.oracles.overcooked import OvercookedOracle
+
+N = 16
+
+
+def run_differential(variant, layout, horizon, steps, seed, num_players=None):
+    if variant == "v1":
+        env = overcooked.make(layout, horizon=horizon, num_players=num_players)
+    else:
+        env = overcooked2.make(layout, horizon=horizon, num_players=num_players)
+    params = get_base_layout_params(
+        layout, horizon, max_num_players=num_players, variant=variant
+    )
+    sim = Simulator(env, N)
+    oracles = [OvercookedOracle(variant, params) for _ in range(N)]
+
+    P = env.num_players
+    W, H, C = env.width, env.height, env.num_channels
+
+    # initial obs must match the oracle's fresh encoding
+    obs0 = np.asarray(sim.last_out.obs).reshape(N, P, W, H, C)
+    for i in range(N):
+        ref = oracles[i].reset()
+        np.testing.assert_array_equal(obs0[i], ref, err_msg=f"init obs env {i}")
+
+    rs = np.random.RandomState(seed)
+    for t in range(steps):
+        actions = rs.randint(0, 6, size=(N, P)).astype(np.int32)
+        out = sim.step(jnp.asarray(actions))
+        obs = np.asarray(out.obs).reshape(N, P, W, H, C)
+        rew = np.asarray(out.reward)
+        done = np.asarray(out.done)
+        for i in range(N):
+            ref_obs, ref_rew, ref_done = oracles[i].step(actions[i])
+            assert ref_done == bool(done[i]), f"t={t} env={i} done"
+            assert np.all(rew[i] == ref_rew), f"t={t} env={i} rew {rew[i]} != {ref_rew}"
+            if ref_done:
+                ref_obs = oracles[i].reset()
+            np.testing.assert_array_equal(obs[i], ref_obs, err_msg=f"t={t} env={i}")
+
+
+@pytest.mark.parametrize("layout", ["simple", "random1", "scenario1_s"])
+def test_overcooked2_layouts(layout):
+    run_differential("v2", layout, horizon=50, steps=120, seed=7)
+
+
+def test_overcooked2_multiplayer_schelling():
+    run_differential("v2", "multiplayer_schelling", horizon=40, steps=60, seed=11)
+
+
+@pytest.mark.parametrize("layout", ["cramped_room", "coordination_ring", "asymmetric_advantages_tomato"])
+def test_overcooked_v1_layouts(layout):
+    run_differential("v1", layout, horizon=50, steps=120, seed=3)
+
+
+def test_overcooked_v1_many_players():
+    run_differential("v1", "many_player_layout", horizon=30, steps=40, seed=5, num_players=8)
