@@ -1,0 +1,20 @@
+"""Vector multi-agent API — the PantheonRL-extension layer, on-device."""
+
+from .agents import RandomVectorAgent, VectorAgent
+from .spaces import Box, Discrete, MultiBinary, MultiDiscrete
+from .vectorenv import PlayerException, SyncVectorEnv, TpuVecEnv, VectorMultiAgentEnv
+from .vectorobservation import VectorObservation
+
+__all__ = [
+    "RandomVectorAgent",
+    "VectorAgent",
+    "Box",
+    "Discrete",
+    "MultiBinary",
+    "MultiDiscrete",
+    "PlayerException",
+    "SyncVectorEnv",
+    "TpuVecEnv",
+    "VectorMultiAgentEnv",
+    "VectorObservation",
+]

@@ -1,0 +1,70 @@
+"""CleanRL-style actor/critic network (TPU-native flax).
+
+Architecture parity with the reference ``CleanRLNetwork``
+(``pantheonrl_extension/vectoragent.py:67-116``): separate actor and critic
+MLPs, 3 hidden layers x 512 ReLU, orthogonal init (hidden std sqrt(2), output
+std 0.01), masked categorical head.  Inputs are cast to float32 at entry (the
+reference calls ``.float()`` on int8 observations).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import (
+    Array,
+    dense,
+    dist_entropy,
+    dist_log_prob,
+    dist_sample,
+    masked_categorical_logits,
+)
+
+
+class MLPTower(nn.Module):
+    out_features: int
+    hidden: int = 512
+    num_layers: int = 3
+    out_scale: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = x.astype(jnp.float32)
+        for _ in range(self.num_layers):
+            x = nn.relu(dense(self.hidden)(x))
+        return dense(self.out_features, scale=self.out_scale)(x)
+
+
+class CleanRLNetwork(nn.Module):
+    num_actions: int
+    hidden: int = 512
+    num_layers: int = 3
+
+    def setup(self):
+        self.actor = MLPTower(self.num_actions, self.hidden, self.num_layers)
+        self.critic = MLPTower(1, self.hidden, self.num_layers)
+
+    def get_value(self, state: Array) -> Array:
+        return self.critic(state)[..., 0]
+
+    def get_logits(self, obs: Array, action_mask: Optional[Array]) -> Array:
+        return masked_categorical_logits(self.actor(obs), action_mask)
+
+    def __call__(self, obs: Array, state: Array, action_mask: Optional[Array]):
+        """Returns (logits, value) — sampling/log-prob happen outside so the
+        same apply serves rollout and update."""
+        return self.get_logits(obs, action_mask), self.get_value(state)
+
+
+def action_and_value(
+    params, net: CleanRLNetwork, key, obs, state, action_mask, action=None
+) -> Tuple[Array, Array, Array, Array]:
+    """Functional analog of ``get_action_and_value``
+    (``vectoragent.py:107-116``): sample if no action given."""
+    logits, value = net.apply(params, obs, state, action_mask)
+    if action is None:
+        action = dist_sample(key, logits)
+    return action, dist_log_prob(logits, action), dist_entropy(logits), value

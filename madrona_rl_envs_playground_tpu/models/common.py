@@ -1,0 +1,49 @@
+"""Shared network building blocks.
+
+Initialization parity with the reference's ``layer_init`` (orthogonal weight,
+constant-zero bias — ``pantheonrl_extension/vectoragent.py:60-64``) and
+MAPPO's ``init`` wrapper (``train/MAPPO/utils/mlp.py`` / ``util.py``).
+Categorical helpers replace ``torch.distributions.Categorical`` with masked
+logits (reference ``vectoragent.py:109``: illegal logits set to -inf; MAPPO
+uses -1e10, ``train/MAPPO/utils/distributions.py``).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.nn.initializers import constant, orthogonal
+
+Array = jnp.ndarray
+
+
+def dense(features: int, scale: float = 2.0**0.5, name=None) -> nn.Dense:
+    return nn.Dense(
+        features,
+        kernel_init=orthogonal(scale),
+        bias_init=constant(0.0),
+        name=name,
+    )
+
+
+def masked_categorical_logits(logits: Array, action_mask) -> Array:
+    if action_mask is None:
+        return logits
+    return jnp.where(action_mask, logits, -jnp.inf)
+
+
+def dist_log_prob(logits: Array, actions: Array) -> Array:
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take_along_axis(lp, actions[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+
+def dist_entropy(logits: Array) -> Array:
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(lp)
+    # -inf logits give p=0 with lp=-inf; zero those products instead of nan.
+    return -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=-1)
+
+
+def dist_sample(key, logits: Array) -> Array:
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

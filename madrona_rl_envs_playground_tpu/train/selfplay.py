@@ -1,0 +1,319 @@
+"""Fused self-play PPO: rollout + credit assignment + GAE + update in ONE jit.
+
+This is the TPU-native flagship training path, the fast-path analog of the
+reference's centralized self-play drivers
+(``pantheonrl_extension/centralized_agent.py``, ``hanabi_agent.py``) and of
+the MAPPO Colab configuration: one policy controls every seat, trajectories
+from all (env, seat) streams train it jointly.
+
+Where the reference drives the env from Python step-by-step and trains in a
+separate torch loop, here a single jitted function runs a ``lax.scan`` of
+``num_steps`` env steps (policy forward for all seats batched together), then
+applies the multi-agent credit rules and PPO epochs — no host round trips.
+Under a ``jax.sharding.Mesh`` the env axis is sharded and XLA inserts the
+gradient all-reduce automatically.
+
+Credit semantics preserved from the reference agents
+(``vectoragent.py:197-219``, ``centralized_agent.py:288-322``):
+* every (env, seat) stream records a slot every step; rewards earned while a
+  seat is inactive flow back to its last active slot;
+* rewards arriving after an episode boundary but before the seat's first
+  action of the new episode are dropped;
+* GAE runs with the active-mask rules of ``active_masked_gae``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.batch import batched_reset, batched_step
+from ..models.cleanrl import CleanRLNetwork
+from ..models.common import dist_entropy, dist_log_prob, dist_sample
+from .cleanrl_ppo import Rollout, active_masked_gae
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfPlayConfig:
+    num_steps: int = 128
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    update_epochs: int = 4
+    lr: float = 2.5e-4
+    ent_coef: float = 0.01
+    vf_coef: float = 0.5
+    clip_coef: float = 0.2
+    clip_vloss: bool = True
+    norm_adv: bool = True
+    max_grad_norm: float = 0.5
+    hidden: int = 512
+    num_layers: int = 3
+
+
+def credit_rewards(rewards: Array, active: Array, dones: Array) -> Tuple[Array, Array]:
+    """Apply the reference's inactive-reward routing to raw per-step rewards.
+
+    rewards/active: [T, M] (M = env*seat streams); dones: [T, M] (per-stream
+    episode done at that step).  Returns (credited [T, M], slot_dones [T, M])
+    where credited[t] is the total reward attributed to the action recorded at
+    slot t and slot_dones[t] is the done flag delivered between slots t-1 and
+    t (the reference's ``next_done`` at record time, ``vectoragent.py:288``).
+    """
+
+    # new_game state at the moment rewards are delivered at step t:
+    # cleared when the seat acts at t, set after any done.
+    def fwd(ng, xs):
+        a_t, d_t = xs
+        ng_at_update = jnp.where(a_t, False, ng)
+        return ng_at_update | d_t, ng_at_update
+
+    _, ng = jax.lax.scan(fwd, jnp.zeros(rewards.shape[1:], jnp.bool_),
+                         (active, dones))
+    kept = jnp.where(ng, 0.0, rewards)
+
+    # Reverse accumulation: each step's kept reward flows to the most recent
+    # active slot at or before it.
+    def rev(acc, xs):
+        r_t, a_t = xs
+        acc = acc + r_t
+        credited_t = jnp.where(a_t, acc, 0.0)
+        acc = jnp.where(a_t, 0.0, acc)
+        return acc, credited_t
+
+    _, credited = jax.lax.scan(rev, jnp.zeros(rewards.shape[1:], rewards.dtype),
+                               (kept, active), reverse=True)
+
+    # Slot-done = done delivered just before this slot (shift by one).
+    slot_dones = jnp.concatenate(
+        [jnp.zeros((1,) + dones.shape[1:], dones.dtype), dones[:-1]], axis=0
+    )
+    return credited, slot_dones
+
+
+class SelfPlayPPO:
+    """Owns params/optimizer and the single jitted ``train_step``.
+
+    ``train_step(state, key) -> (state, metrics)`` advances ``cfg.num_steps``
+    env steps and runs the PPO update.  ``state`` is a pytree
+    (params, opt_state, bstate, last_out) so it can be device_put onto a
+    sharded mesh once and stay there.
+    """
+
+    def __init__(self, env, num_envs: int, cfg: SelfPlayConfig = SelfPlayConfig(),
+                 seed: int = 0, mesh=None):
+        self.env = env
+        self.num_envs = num_envs
+        self.cfg = cfg
+        self.net = CleanRLNetwork(
+            num_actions=env.num_actions, hidden=cfg.hidden, num_layers=cfg.num_layers
+        )
+
+        key = jax.random.PRNGKey(seed)
+        key, pk = jax.random.split(key)
+        params = self.net.init(
+            pk,
+            jnp.zeros((1, env.obs_size)),
+            jnp.zeros((1, env.state_size)),
+            jnp.ones((1, env.num_actions), jnp.bool_),
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr, eps=1e-5),
+        )
+        opt_state = self.tx.init(params)
+        bstate, out = batched_reset(env, num_envs)
+        self.state = {
+            "params": params,
+            "opt_state": opt_state,
+            "bstate": bstate,
+            "out": out,
+            "key": key,
+        }
+        if mesh is not None:
+            from ..parallel.mesh import put_selfplay_state
+
+            self.state = put_selfplay_state(self.state, mesh)
+        # No donation: StepOutput.obs/state_obs may alias one buffer (envs
+        # where state==obs), and donating an aliased pytree is an error.
+        self.train_step = jax.jit(self._train_step)
+
+    # ------------------------------------------------------------------
+    def _policy(self, params, key, out):
+        """Batched forward for all seats. out fields [N, P, ...]."""
+        N, P = out.active.shape
+        obs = out.obs.reshape(N * P, -1).astype(jnp.float32)
+        st = out.state_obs.reshape(N * P, -1).astype(jnp.float32)
+        mask = out.action_mask.reshape(N * P, -1)
+        logits, value = self.net.apply(params, obs, st, mask)
+        action = dist_sample(key, logits)
+        logp = dist_log_prob(logits, action)
+        return (
+            action.reshape(N, P),
+            logp.reshape(N, P),
+            value.reshape(N, P),
+        )
+
+    def _train_step(self, state, _=None):
+        cfg = self.cfg
+        env = self.env
+        N = self.num_envs
+        P = env.num_agents
+
+        def rollout_body(carry, _):
+            bstate, out, key = carry
+            key, ak = jax.random.split(key)
+            action, logp, value = self._policy(state["params"], ak, out)
+            bstate2, out2 = batched_step(env, bstate, action)
+            ys = {
+                "obs": out.obs,
+                "state_obs": out.state_obs,
+                "mask": out.action_mask,
+                "active": out.active,
+                "action": action,
+                "logp": logp,
+                "value": value,
+                "reward": out2.reward.astype(jnp.float32),
+                "done": out2.done,
+            }
+            return (bstate2, out2, key), ys
+
+        (bstate, out, key), tr = jax.lax.scan(
+            rollout_body,
+            (state["bstate"], state["out"], state["key"]),
+            None,
+            length=cfg.num_steps,
+        )
+
+        T = cfg.num_steps
+        M = N * P
+        flatM = lambda x: x.reshape((T, M) + x.shape[3:])
+        done_m = jnp.repeat(tr["done"][:, :, None], P, axis=2)  # [T, N, P]
+
+        credited, slot_dones = credit_rewards(
+            flatM(tr["reward"]), flatM(tr["active"]), flatM(done_m)
+        )
+
+        buf = Rollout(
+            obs=flatM(tr["obs"]).astype(jnp.float32),
+            states=flatM(tr["state_obs"]).astype(jnp.float32),
+            actions=flatM(tr["action"]),
+            action_masks=flatM(tr["mask"]),
+            logprobs=flatM(tr["logp"]),
+            rewards=credited,
+            dones=slot_dones,
+            active=flatM(tr["active"]),
+            values=flatM(tr["value"]),
+        )
+
+        # Bootstrap values from the post-rollout observation.
+        final_state_obs = out.state_obs.reshape(M, -1).astype(jnp.float32)
+        next_value = self.net.apply(
+            state["params"], final_state_obs, method=CleanRLNetwork.get_value
+        )
+        final_active = out.active.reshape(M)
+        next_done = jnp.repeat(out.done[:, None], P, axis=1).reshape(M)
+
+        advantages, returns, active = active_masked_gae(
+            buf, next_value, next_done, final_active, cfg.gamma, cfg.gae_lambda
+        )
+
+        flat = lambda x: x.reshape((T * M,) + x.shape[2:])
+        b_active = flat(active).astype(jnp.float32)
+        n_active = jnp.maximum(b_active.sum(), 1.0)
+        masked_mean = lambda x: (x * b_active).sum() / n_active
+
+        b_adv = flat(advantages)
+        if cfg.norm_adv:
+            m = masked_mean(b_adv)
+            var = masked_mean((b_adv - m) ** 2)
+            std = jnp.sqrt(var * n_active / jnp.maximum(n_active - 1.0, 1.0))
+            b_adv = (b_adv - m) / (std + 1e-8)
+
+        b_obs, b_states = flat(buf.obs), flat(buf.states)
+        b_actions, b_masks = flat(buf.actions), flat(buf.action_masks)
+        b_logprobs = flat(buf.logprobs)
+        b_returns, b_values = flat(returns), flat(buf.values)
+
+        def loss_fn(p):
+            logits, newvalue = self.net.apply(p, b_obs, b_states, b_masks)
+            newlogprob = dist_log_prob(logits, b_actions)
+            entropy = dist_entropy(logits)
+            logratio = newlogprob - b_logprobs
+            ratio = jnp.exp(logratio)
+            pg = masked_mean(
+                jnp.maximum(
+                    -b_adv * ratio,
+                    -b_adv * jnp.clip(ratio, 1 - cfg.clip_coef, 1 + cfg.clip_coef),
+                )
+            )
+            if cfg.clip_vloss:
+                vl = 0.5 * masked_mean(
+                    jnp.maximum(
+                        (newvalue - b_returns) ** 2,
+                        (
+                            b_values
+                            + jnp.clip(newvalue - b_values, -cfg.clip_coef, cfg.clip_coef)
+                            - b_returns
+                        )
+                        ** 2,
+                    )
+                )
+            else:
+                vl = 0.5 * masked_mean((newvalue - b_returns) ** 2)
+            ent = masked_mean(entropy)
+            total = pg - cfg.ent_coef * ent + vl * cfg.vf_coef
+            kl = masked_mean((ratio - 1) - logratio)
+            return total, (pg, vl, ent, kl)
+
+        def epoch_body(carry, _):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), aux
+
+        (params, opt_state), auxes = jax.lax.scan(
+            epoch_body,
+            (state["params"], state["opt_state"]),
+            None,
+            length=cfg.update_epochs,
+        )
+
+        metrics = {
+            "pg_loss": auxes[0][-1],
+            "v_loss": auxes[1][-1],
+            "entropy": auxes[2][-1],
+            "approx_kl": auxes[3][-1],
+            "mean_step_reward": masked_mean(flat(credited)),
+            "mean_value": masked_mean(b_values),
+        }
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "bstate": bstate,
+            "out": out,
+            "key": key,
+        }
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def run(self, num_updates: int, log_every: int = 0, logger=None):
+        metrics = None
+        for u in range(num_updates):
+            self.state, metrics = self.train_step(self.state)
+            if log_every and (u + 1) % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                if logger is not None:
+                    for k, v in m.items():
+                        logger.add_scalar(f"selfplay/{k}", v, u + 1)
+                else:
+                    print(f"update {u + 1}: {m}")
+        return metrics

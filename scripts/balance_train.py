@@ -1,0 +1,50 @@
+"""Decentralized CleanRL PPO on Balance Beam: ego + partner each learn
+(reference: scripts/balance_train.py)."""
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-envs", type=int, default=32)
+    p.add_argument("--total-timesteps", type=int, default=100_000)
+    p.add_argument("--num-steps", type=int, default=128)
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--run-dir", default=None)
+    args = p.parse_args()
+
+    from madrona_rl_envs_playground_tpu.api import TpuVecEnv
+    from madrona_rl_envs_playground_tpu.envs import balance_beam
+    from madrona_rl_envs_playground_tpu.train import CleanPPOAgent
+
+    env = balance_beam.Env()
+    venv = TpuVecEnv(env, num_envs=args.num_envs)
+    num_updates = args.total_timesteps // (args.num_steps * args.num_envs)
+    partner = CleanPPOAgent(
+        venv, "balance-partner", num_updates=num_updates, num_steps=args.num_steps,
+        lr=args.lr, seed=args.seed + 1, verbose=False,
+    )
+    venv.add_partner_agent(partner)
+    ego = CleanPPOAgent(
+        venv, "balance-ego", num_updates=num_updates, num_steps=args.num_steps,
+        lr=args.lr, seed=args.seed, run_dir=args.run_dir, verbose=args.run_dir is not None,
+    )
+    obs = venv.reset()
+    for _ in range(num_updates * args.num_steps):
+        act = ego.get_action(obs)
+        obs, rew, done, _ = venv.step(act)
+        ego.update(rew, done)
+        if ego._last_metrics is not None and ego.step == 1:
+            m = ego._last_metrics
+            print(
+                f"update {ego.updates - 1}/{num_updates} "
+                f"return={float(m['mean_return']):.3f} ent={float(m['entropy']):.3f}"
+            )
+
+
+if __name__ == "__main__":
+    main()

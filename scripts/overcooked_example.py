@@ -1,0 +1,57 @@
+"""Overcooked (modern multiplayer) benchmark/validation CLI
+(reference: scripts/overcooked_example.py)."""
+
+import numpy as np
+
+from _common import base_parser, run_isolated, run_timed_loop
+
+
+def overcooked_main(variant: str):
+    p = base_parser(num_envs=32, num_steps=1000)
+    p.add_argument("--layout", default="cramped_room" if variant == "v1" else "simple")
+    p.add_argument("--horizon", type=int, default=400)
+    p.add_argument("--num-players", type=int, default=None)
+    args = p.parse_args()
+
+    from madrona_rl_envs_playground_tpu.envs import overcooked, overcooked2
+    from madrona_rl_envs_playground_tpu.envs.layouts import get_base_layout_params
+    from madrona_rl_envs_playground_tpu.oracles.overcooked import OvercookedOracle
+
+    maker = overcooked.make if variant == "v1" else overcooked2.make
+    env = maker(args.layout, horizon=args.horizon, num_players=args.num_players)
+    if args.isolated:
+        run_isolated(env, args.num_envs, args.num_steps, args.seed)
+        return
+
+    validate = None
+    if args.validation:
+        params = get_base_layout_params(
+            args.layout, args.horizon, max_num_players=args.num_players, variant=variant
+        )
+        oracles = [OvercookedOracle(variant, params) for _ in range(args.num_envs)]
+        for o in oracles:
+            o.reset()
+        W, H, C = env.width, env.height, env.num_channels
+
+        def validate(t, actions, out):
+            obs = np.asarray(out.obs).reshape(args.num_envs, env.num_players, W, H, C)
+            rew = np.asarray(out.reward)
+            done = np.asarray(out.done)
+            bad = []
+            for i, o in enumerate(oracles):
+                ref_obs, ref_rew, ref_done = o.step(actions[i])
+                if ref_done:
+                    ref_obs = o.reset()
+                if (
+                    ref_done != bool(done[i])
+                    or not np.all(rew[i] == ref_rew)
+                    or not np.array_equal(obs[i], ref_obs)
+                ):
+                    bad.append(i)
+            return bad
+
+    run_timed_loop(env, args.num_envs, args.num_steps, args.seed, validate, args.asserts)
+
+
+if __name__ == "__main__":
+    overcooked_main("v1")

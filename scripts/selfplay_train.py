@@ -1,0 +1,70 @@
+"""Fused self-play PPO on any env — the TPU-native fast path
+(reference analogs: scripts/balance_train_single.py, hanabi_train.py
+single-policy mode, the MAPPO Colab run)."""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def make_env(name, layout, horizon, num_players):
+    from madrona_rl_envs_playground_tpu.envs import (
+        balance_beam,
+        cartpole,
+        hanabi,
+        overcooked,
+        overcooked2,
+    )
+
+    if name == "cartpole":
+        return cartpole.Env()
+    if name == "balance":
+        return balance_beam.Env()
+    if name == "hanabi":
+        return hanabi.Env(**hanabi.CONFIGS[layout or "full"])
+    if name == "overcooked":
+        return overcooked.make(layout or "cramped_room", horizon=horizon,
+                               num_players=num_players)
+    if name == "overcooked2":
+        return overcooked2.make(layout or "simple", horizon=horizon,
+                                num_players=num_players)
+    raise ValueError(name)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="overcooked2")
+    p.add_argument("--layout", default=None)
+    p.add_argument("--horizon", type=int, default=400)
+    p.add_argument("--num-players", type=int, default=None)
+    p.add_argument("--num-envs", type=int, default=800)
+    p.add_argument("--num-steps", type=int, default=128)
+    p.add_argument("--updates", type=int, default=50)
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--hidden", type=int, default=512)
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--log-every", type=int, default=1)
+    args = p.parse_args()
+
+    from madrona_rl_envs_playground_tpu.train import SelfPlayConfig, SelfPlayPPO
+
+    env = make_env(args.env, args.layout, args.horizon, args.num_players)
+    cfg = SelfPlayConfig(
+        num_steps=args.num_steps, lr=args.lr, hidden=args.hidden,
+        num_layers=args.layers, update_epochs=args.epochs, ent_coef=args.ent_coef,
+    )
+    trainer = SelfPlayPPO(env, num_envs=args.num_envs, cfg=cfg, seed=args.seed)
+    t0 = time.time()
+    trainer.run(args.updates, log_every=args.log_every)
+    dt = time.time() - t0
+    steps = args.updates * args.num_steps * args.num_envs
+    print(f"total: {steps:,} env-steps in {dt:.1f}s -> {steps / dt:,.0f} steps/s")
+
+
+if __name__ == "__main__":
+    main()
