@@ -60,7 +60,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--layout", default="cramped_room")
     p.add_argument("--num-envs", type=int, default=8192)
-    p.add_argument("--num-steps", type=int, default=200)
+    p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 

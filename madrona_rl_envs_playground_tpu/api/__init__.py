@@ -1,11 +1,13 @@
 """Vector multi-agent API — the PantheonRL-extension layer, on-device."""
 
 from .agents import RandomVectorAgent, VectorAgent
+from .asyncvectorenv import AsyncVectorEnv
 from .spaces import Box, Discrete, MultiBinary, MultiDiscrete
 from .vectorenv import PlayerException, SyncVectorEnv, TpuVecEnv, VectorMultiAgentEnv
 from .vectorobservation import VectorObservation
 
 __all__ = [
+    "AsyncVectorEnv",
     "RandomVectorAgent",
     "VectorAgent",
     "Box",

@@ -207,10 +207,12 @@ class TpuVecEnv(VectorMultiAgentEnv):
 class SyncVectorEnv(VectorMultiAgentEnv):
     """Host-side oracle vectorizer: N python envs stepped in a loop.
 
-    Each oracle env must expose ``n_reset() -> (obs_list, mask_list)`` and
-    ``n_step(actions) -> (obs_list, mask_list, rewards, done)`` with per-seat
-    numpy rows, plus ``num_agents``/``obs_size``/``num_actions`` metadata.
-    Auto-resets on done like the reference (``vectorenv.py:369-371``).
+    Each oracle env must expose
+    ``n_reset() -> (obs_list, mask_list, active_list)`` and
+    ``n_step(actions) -> (obs_list, mask_list, active_list, rewards, done)``
+    with per-seat numpy rows, plus ``num_agents``/``obs_size``/``num_actions``
+    metadata (see ``oracles/adapters.py``).  Auto-resets on done like the
+    reference (``vectorenv.py:369-371``).
     """
 
     def __init__(self, env_fns, ego_ind: int = 0, resample_policy: str = "default"):
@@ -225,13 +227,14 @@ class SyncVectorEnv(VectorMultiAgentEnv):
         self.env = proto
 
     def _pack(self, per_env):
-        """per_env: list over envs of (obs_list, mask_list) -> seat views."""
-        P, N = self.n_players, self.num_envs
-        obs = np.stack([np.stack(o) for o, _ in per_env], axis=1)  # [P?]
-        mask = np.stack([np.stack(m) for _, m in per_env], axis=1)
+        """per_env: list over envs of (obs_list, mask_list, active_list)."""
+        P = self.n_players
+        obs = np.stack([np.stack(o) for o, _, _ in per_env], axis=1)
+        mask = np.stack([np.stack(m) for _, m, _ in per_env], axis=1)
+        active = np.stack([np.stack(a) for _, _, a in per_env], axis=1)
         return tuple(
             VectorObservation(
-                active=jnp.ones((N,), jnp.bool_),
+                active=jnp.asarray(active[p]),
                 obs=jnp.asarray(obs[p]),
                 state=jnp.asarray(obs[p]),
                 action_mask=jnp.asarray(mask[p]),
@@ -246,10 +249,10 @@ class SyncVectorEnv(VectorMultiAgentEnv):
         acts = np.asarray(actions)
         per_env, rews, dones = [], [], []
         for i, e in enumerate(self.envs):
-            obs_l, mask_l, rew, done = e.n_step(acts[:, i])
+            obs_l, mask_l, act_l, rew, done = e.n_step(acts[:, i])
             if done:
-                obs_l, mask_l = e.n_reset()
-            per_env.append((obs_l, mask_l))
+                obs_l, mask_l, act_l = e.n_reset()
+            per_env.append((obs_l, mask_l, act_l))
             rews.append(rew)
             dones.append(done)
         rews_a = jnp.asarray(np.stack(rews, axis=1))

@@ -1,0 +1,246 @@
+"""MAPPO self-play runner — the MainPlayer analog, TPU-native.
+
+The reference ``MainPlayer`` (``train/MAPPO/main_player.py:185-309``) drives
+the env from Python step-by-step, with a ``CentralizedAgent`` partner routing
+seat-1 inference through the same policy into shared turn buffers
+(``train/partner_agents.py:18-75``).  Behaviorally that is: one policy acts
+for every seat each step, trajectories for all (env, seat) streams fill a
+shared buffer, then R_MAPPO trains on it.
+
+Here the entire collect phase is ONE jitted ``lax.scan`` over
+``episode_length`` env steps (policy forward for all seats batched), the
+buffer is assembled from the scan outputs, and GAE + the PPO update run
+jitted as well.  Checkpointing mirrors ``main_player.py:311-325``
+(actor/critic params saved per ``save_interval``; ``restore`` loads them).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.batch import batched_reset, batched_step
+from ...models.common import dist_log_prob, dist_sample
+from ...utils.logger import ScalarLogger
+from .buffer import MAPPOBuffer, compute_returns, init_buffer
+from .config import MAPPOConfig
+from .policy import MAPPOPolicy
+from .trainer import RMAPPOTrainer
+
+Array = jnp.ndarray
+
+
+class MAPPORunner:
+    def __init__(self, cfg: MAPPOConfig, env, run_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.env = env
+        self.N = cfg.n_rollout_threads
+        self.A = env.num_agents
+        self.policy = MAPPOPolicy(
+            cfg,
+            obs_shape=(env.obs_size,),
+            share_obs_shape=(env.state_size,),
+            num_actions=env.num_actions,
+            seed=cfg.seed,
+        )
+        self.trainer = RMAPPOTrainer(cfg, self.policy)
+        self.run_dir = run_dir
+        self.logger = ScalarLogger(run_dir) if run_dir else None
+
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self.bstate, self.out = batched_reset(env, self.N)
+        mc = cfg.model_config()
+        L, H = mc.recurrent_N, mc.hidden_size
+        self._rnn = jnp.zeros((self.N * self.A, L, H))
+        self._rnnc = jnp.zeros((self.N * self.A, L, H))
+        self._masks = jnp.ones((self.N * self.A,))
+
+        self._collect = jax.jit(self._collect_impl)
+        self._compute = jax.jit(self._compute_impl)
+
+    # ------------------------------------------------------------------
+    def _collect_impl(self, pstate, bstate, out0, rnn0, rnnc0, masks0, key):
+        """One episode_length rollout; returns buffer arrays + final carry."""
+        cfg = self.cfg
+        N, A = self.N, self.A
+        B = N * A
+
+        def step_fn(carry, _):
+            bstate, out, rnn, rnnc, masks, key = carry
+            key, ak = jax.random.split(key)
+            obs = out.obs.reshape(B, -1).astype(jnp.float32)
+            sobs = out.state_obs.reshape(B, -1).astype(jnp.float32)
+            avail = out.action_mask.reshape(B, -1)
+            active = out.active.reshape(B)
+
+            values, actions, logp, rnn2, rnnc2 = self.policy.get_actions(
+                pstate, ak, sobs, obs, rnn, rnnc, masks, avail
+            )
+            bstate2, out2 = batched_step(env=self.env, bstate=bstate,
+                                         actions=actions.reshape(N, A))
+            done = out2.done  # [N]
+            done_b = jnp.repeat(done[:, None], A, axis=1).reshape(B)
+            masks2 = 1.0 - done_b.astype(jnp.float32)
+            # reset rnn states on episode end (main_player.py:248-257)
+            rnn3 = rnn2 * masks2[:, None, None]
+            rnnc3 = rnnc2 * masks2[:, None, None]
+
+            ys = dict(
+                share_obs=sobs, obs=obs, rnn=rnn, rnnc=rnnc,
+                actions=actions, logp=logp, values=values,
+                rewards=out2.reward.astype(jnp.float32).reshape(B),
+                masks=masks, active=active.astype(jnp.float32), avail=avail,
+                done=done,
+            )
+            return (bstate2, out2, rnn3, rnnc3, masks2, key), ys
+
+        (bstate, out, rnn, rnnc, masks, key), tr = jax.lax.scan(
+            step_fn, (bstate, out0, rnn0, rnnc0, masks0, key), None,
+            length=cfg.episode_length,
+        )
+        return bstate, out, rnn, rnnc, masks, key, tr
+
+    def _compute_impl(self, tstate, buf, out, rnnc, masks):
+        B = self.N * self.A
+        sobs = out.state_obs.reshape(B, -1).astype(jnp.float32)
+        next_value = self.policy.get_values(tstate.policy, sobs, rnnc, masks)
+        vn = tstate.vn if (self.cfg.use_popart or self.cfg.use_valuenorm) else None
+        return compute_returns(
+            buf, next_value.reshape(self.N, self.A), vn,
+            self.cfg.gamma, self.cfg.gae_lambda, self.cfg.use_gae,
+            self.cfg.use_proper_time_limits,
+        )
+
+    def _tr_to_buffer(self, tr) -> MAPPOBuffer:
+        cfg, N, A = self.cfg, self.N, self.A
+        T = cfg.episode_length
+        mc = cfg.model_config()
+        buf = init_buffer(
+            T, N, A, self.env.obs_size, self.env.state_size,
+            self.env.num_actions, mc.recurrent_N, mc.hidden_size,
+        )
+        r = lambda x: x.reshape((T, N, A) + x.shape[2:])
+        return buf.replace(
+            share_obs=buf.share_obs.at[:-1].set(r(tr["share_obs"])),
+            obs=buf.obs.at[:-1].set(r(tr["obs"])),
+            rnn_states=buf.rnn_states.at[:-1].set(r(tr["rnn"])),
+            rnn_states_critic=buf.rnn_states_critic.at[:-1].set(r(tr["rnnc"])),
+            actions=r(tr["actions"]),
+            action_log_probs=r(tr["logp"]),
+            value_preds=buf.value_preds.at[:-1].set(r(tr["values"])),
+            rewards=r(tr["rewards"]),
+            masks=buf.masks.at[:-1].set(r(tr["masks"])),
+            active_masks=buf.active_masks.at[:-1].set(r(tr["active"])),
+            available_actions=buf.available_actions.at[:-1].set(r(tr["avail"])),
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, episodes: Optional[int] = None):
+        cfg = self.cfg
+        steps_per_episode = cfg.episode_length * self.N
+        if episodes is None:
+            episodes = int(cfg.num_env_steps) // steps_per_episode
+        t0 = time.time()
+        last_info = None
+        for ep in range(episodes):
+            lrs = self.policy.lr_for(ep, episodes)
+            self._key, ck, tk = jax.random.split(self._key, 3)
+            (self.bstate, self.out, self._rnn, self._rnnc, self._masks, _, tr) = (
+                self._collect(
+                    self.trainer.state.policy, self.bstate, self.out,
+                    self._rnn, self._rnnc, self._masks, ck,
+                )
+            )
+            buf = self._tr_to_buffer(tr)
+            buf = self._compute(self.trainer.state, buf, self.out, self._rnnc, self._masks)
+            self.trainer.state, info = self.trainer.train(
+                self.trainer.state, buf, tk,
+                (jnp.float32(lrs[0]), jnp.float32(lrs[1])),
+            )
+            last_info = info
+
+            # average per-episode score: team reward summed over the episode
+            # (seat 0's reward stream; rewards are shared across seats)
+            ep_rew = float(jnp.sum(tr["rewards"].reshape(-1, self.N, self.A)[:, :, 0]) / self.N)
+            steps = (ep + 1) * steps_per_episode
+            if self.logger is not None:
+                self.logger.add_scalar("mappo/average_episode_rewards", ep_rew, steps)
+                for k, v in info.items():
+                    self.logger.add_scalar(f"mappo/{k}", float(v), steps)
+                self.logger.flush()
+            if (ep + 1) % cfg.log_interval == 0 or ep == episodes - 1:
+                fps = steps / (time.time() - t0)
+                print(
+                    f"episode {ep + 1}/{episodes} steps={steps} "
+                    f"avg_ep_reward={ep_rew:.2f} "
+                    f"vloss={float(info['value_loss']):.4f} "
+                    f"ent={float(info['dist_entropy']):.3f} FPS={fps:,.0f}"
+                )
+            if self.run_dir and (ep + 1) % cfg.save_interval == 0:
+                self.save()
+        return last_info
+
+    # ---- checkpointing (main_player.py:311-325) -----------------------
+    def save(self, path: Optional[str] = None):
+        path = path or self.run_dir
+        os.makedirs(path, exist_ok=True)
+        blob = {
+            "actor_params": jax.device_get(self.trainer.state.policy.actor_params),
+            "critic_params": jax.device_get(self.trainer.state.policy.critic_params),
+            "vn": jax.device_get(self.trainer.state.vn),
+        }
+        with open(os.path.join(path, "checkpoint.pkl"), "wb") as f:
+            pickle.dump(blob, f)
+
+    def restore(self, path: Optional[str] = None):
+        path = path or self.run_dir
+        with open(os.path.join(path, "checkpoint.pkl"), "rb") as f:
+            blob = pickle.load(f)
+        pol = self.trainer.state.policy.replace(
+            actor_params=blob["actor_params"], critic_params=blob["critic_params"]
+        )
+        self.trainer.state = self.trainer.state.replace(policy=pol, vn=blob["vn"])
+
+    # ---- deterministic eval (train/tester.py analog) ------------------
+    def evaluate(self, episodes: int = 1, deterministic: bool = True) -> float:
+        cfg = self.cfg
+        N, A = self.N, self.A
+        B = N * A
+        pstate = self.trainer.state.policy
+        mc = cfg.model_config()
+        rnn = jnp.zeros((B, mc.recurrent_N, mc.hidden_size))
+        masks = jnp.ones((B,))
+        bstate, out = batched_reset(self.env, N, start_episode=10_000_000)
+        total = 0.0
+        key = jax.random.PRNGKey(cfg.seed + 777)
+
+        @jax.jit
+        def eval_step(pstate, bstate, out, rnn, masks, key):
+            key, ak = jax.random.split(key)
+            obs = out.obs.reshape(B, -1).astype(jnp.float32)
+            avail = out.action_mask.reshape(B, -1)
+            logits, rnn2 = self.policy.actor.apply(
+                pstate.actor_params, obs, rnn, masks, avail
+            )
+            if deterministic:
+                actions = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                actions = dist_sample(ak, logits)
+            bstate, out2 = batched_step(self.env, bstate, actions.reshape(N, A))
+            done_b = jnp.repeat(out2.done[:, None], A, 1).reshape(B).astype(jnp.float32)
+            return bstate, out2, rnn2 * (1 - done_b)[:, None, None], 1 - done_b, key, (
+                out2.reward[:, 0].sum()
+            )
+
+        for _ in range(episodes * cfg.episode_length):
+            bstate, out, rnn, masks, key, rew = eval_step(
+                pstate, bstate, out, rnn, masks, key
+            )
+            total += float(rew)
+        return total / (episodes * N)

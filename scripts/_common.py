@@ -32,8 +32,34 @@ def base_parser(**defaults) -> argparse.ArgumentParser:
     p.add_argument("--asserts", action="store_true")
     p.add_argument("--isolated", action="store_true",
                    help="fused lax.scan rollout (isolated sim throughput)")
+    p.add_argument("--use-baseline", action="store_true",
+                   help="python oracle envs under SyncVectorEnv")
+    p.add_argument("--use-async", action="store_true",
+                   help="python oracle envs under AsyncVectorEnv (process/env)")
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+def run_baseline_loop(env_fns, num_steps: int, seed: int, use_async: bool = False):
+    """Timed random-action loop over the python oracle envs (the reference's
+    --use-baseline backend)."""
+    import time
+
+    from madrona_rl_envs_playground_tpu.api import AsyncVectorEnv, SyncVectorEnv
+
+    venv = (AsyncVectorEnv if use_async else SyncVectorEnv)(env_fns)
+    num_envs = venv.num_envs
+    P = venv.n_players
+    A = venv.env.num_actions
+    rs = np.random.RandomState(seed)
+    obs = venv.n_reset()
+    t0 = time.perf_counter()
+    for _ in range(num_steps):
+        acts = jnp.asarray(rs.randint(0, A, size=(P, num_envs)).astype(np.int32))
+        obs, rews, dones, _ = venv.n_step(acts)
+    dt = time.perf_counter() - t0
+    venv.close()
+    print(f"{num_steps * num_envs / dt:,.0f} step*worlds/sec (baseline)")
 
 
 def run_timed_loop(env, num_envs: int, num_steps: int, seed: int,

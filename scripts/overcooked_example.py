@@ -19,6 +19,18 @@ def overcooked_main(variant: str):
 
     maker = overcooked.make if variant == "v1" else overcooked2.make
     env = maker(args.layout, horizon=args.horizon, num_players=args.num_players)
+    if args.use_baseline or args.use_async:
+        from _common import run_baseline_loop
+        from madrona_rl_envs_playground_tpu.oracles.adapters import OvercookedOracleEnv
+
+        params = get_base_layout_params(
+            args.layout, args.horizon, max_num_players=args.num_players, variant=variant
+        )
+        run_baseline_loop(
+            [lambda: OvercookedOracleEnv(variant, params) for _ in range(args.num_envs)],
+            args.num_steps, args.seed, use_async=args.use_async,
+        )
+        return
     if args.isolated:
         run_isolated(env, args.num_envs, args.num_steps, args.seed)
         return
