@@ -441,3 +441,23 @@ class CleanPPOAgent(VectorAgent):
         self.carry = self._jit_update(self.carry, rewards, dones)
         self.step += 1
         self.global_step += 1
+
+    # ---- checkpointing -------------------------------------------------
+    def save(self, path: str) -> None:
+        from ..utils.checkpoint import save_pytree
+
+        save_pytree(path, {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "updates": self.updates,
+            "global_step": self.global_step,
+        })
+
+    def load(self, path: str) -> None:
+        from ..utils.checkpoint import load_pytree
+
+        blob = load_pytree(path)
+        self.params = jax.device_put(blob["params"])
+        self.opt_state = jax.device_put(blob["opt_state"])
+        self.updates = blob["updates"]
+        self.global_step = blob["global_step"]

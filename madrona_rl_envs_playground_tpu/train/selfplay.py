@@ -304,6 +304,18 @@ class SelfPlayPPO:
         }
         return new_state, metrics
 
+    # ---- checkpointing -------------------------------------------------
+    def save(self, path: str) -> None:
+        from ..utils.checkpoint import save_pytree
+
+        save_pytree(path, {k: self.state[k] for k in ("params", "opt_state", "key")})
+
+    def load(self, path: str) -> None:
+        from ..utils.checkpoint import load_pytree
+
+        blob = load_pytree(path)
+        self.state.update({k: jax.device_put(v) for k, v in blob.items()})
+
     # ------------------------------------------------------------------
     def run(self, num_updates: int, log_every: int = 0, logger=None):
         metrics = None
