@@ -1,15 +1,20 @@
-"""Headline benchmark: Overcooked env-steps/s on one chip.
+"""Headline benchmark: env-steps/s for the batch simulators on one chip.
 
 Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
 
 Methodology mirrors the reference's isolated example scripts
-(``scripts/overcooked_isolated_example.py``: warmup then timed random-action
-stepping, reporting step*worlds/sec), re-expressed TPU-natively: the whole
-rollout is a single ``lax.scan`` under ``jit`` so XLA pipelines the step
-function without host round-trips.  ``vs_baseline`` compares against the
-reference's Madrona GPU number for the same env/batch class (Overcooked
-cramped_room, 10k envs on an A40: 13.7M steps/s,
-``src/overcooked_env/README.org:105``).
+(``scripts/*_isolated_example.py``: warmup then timed random-action stepping,
+reporting step*worlds/sec), re-expressed TPU-natively: the whole rollout is a
+single ``lax.scan`` under ``jit`` so XLA pipelines the step function without
+host round-trips.  Turn-based envs (Hanabi) sample uniformly over the legal
+moves of the active seat in-graph.  All outputs are consumed via checksum so
+nothing is dead-code-eliminated.  Timing covers all repeats under one final
+sync (robust to async dispatch).
+
+``vs_baseline`` compares against the reference's Madrona GPU number for the
+same env/batch class (``BASELINE.md``): Overcooked cramped_room 10k envs on
+an A40 = 13.7M steps/s (``src/overcooked_env/README.org:105``), Hanabi 10k =
+7.04M, Cartpole 10k = 175M, Balance 10k = 36.5M, Overcooked2 10k = 19.1M.
 """
 
 from __future__ import annotations
@@ -23,77 +28,117 @@ import jax.numpy as jnp
 from jax import lax
 
 from madrona_rl_envs_playground_tpu.core.batch import Simulator, batched_step
-from madrona_rl_envs_playground_tpu.envs import overcooked
 
-REFERENCE_GPU_STEPS_PER_S = 13_700_000.0  # src/overcooked_env/README.org:105
+REFERENCE_GPU = {
+    "overcooked": 13_700_000.0,
+    "overcooked2": 19_100_000.0,
+    "hanabi": 7_040_000.0,
+    "cartpole": 175_000_000.0,
+    "balance": 36_500_000.0,
+}
 
 
-def rollout_fn(env, num_steps: int):
-    """One jitted T-step random-action rollout (the sim-only hot loop)."""
+def make_env(name: str, layout: str, num_players):
+    from madrona_rl_envs_playground_tpu.envs import (
+        balance_beam,
+        cartpole,
+        hanabi,
+        overcooked,
+        overcooked2,
+    )
 
+    if name == "overcooked":
+        return overcooked.make(layout or "cramped_room", num_players=num_players)
+    if name == "overcooked2":
+        return overcooked2.make(layout or "simple", num_players=num_players)
+    if name == "hanabi":
+        return hanabi.Env(**hanabi.CONFIGS[layout or "full"])
+    if name == "cartpole":
+        return cartpole.Env()
+    if name == "balance":
+        return balance_beam.Env()
+    raise ValueError(name)
+
+
+def rollout_fn(env, num_envs: int, num_steps: int, masked: bool):
     def body(carry, _):
-        bstate, key = carry
+        bstate, out, key = carry
         key, sub = jax.random.split(key)
-        actions = jax.random.randint(
-            sub, (bstate.env_states.pos.shape[0], env.num_agents), 0, env.num_actions,
-            dtype=jnp.int32,
-        )
+        if masked:
+            logits = jnp.where(out.action_mask, 0.0, -jnp.inf)
+            actions = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        else:
+            actions = jax.random.randint(
+                sub, (num_envs, env.num_agents), 0, env.num_actions, dtype=jnp.int32
+            )
         bstate, out = batched_step(env, bstate, actions)
-        # Consume every output so XLA cannot dead-code-eliminate the obs
-        # encoder (the reference's exported tensors are always materialized).
         chk = (
             out.reward.astype(jnp.int32).sum()
             + out.obs.astype(jnp.int32).sum()
             + out.action_mask.astype(jnp.int32).sum()
             + out.done.astype(jnp.int32).sum()
         )
-        return (bstate, key), chk
+        return (bstate, out, key), chk
 
-    def run(bstate, key):
-        (bstate, _), chks = lax.scan(body, (bstate, key), None, length=num_steps)
-        return bstate, chks.sum()
+    def run(bstate, out, key):
+        (bstate, out, _), chks = lax.scan(
+            body, (bstate, out, key), None, length=num_steps
+        )
+        return bstate, out, chks.sum()
 
-    return jax.jit(run, static_argnames=(), donate_argnums=(0,))
+    return jax.jit(run)
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--layout", default="cramped_room")
+    p.add_argument("--env", default="overcooked",
+                   choices=list(REFERENCE_GPU))
+    p.add_argument("--layout", default=None,
+                   help="layout (overcooked*) or config name (hanabi)")
+    p.add_argument("--num-players", type=int, default=None)
     p.add_argument("--num-envs", type=int, default=8192)
     p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory")
     args = p.parse_args()
 
-    env = overcooked.make(args.layout)
+    env = make_env(args.env, args.layout, args.num_players)
+    masked = args.env == "hanabi"
     sim = Simulator(env, args.num_envs)
-    run = rollout_fn(env, args.num_steps)
+    run = rollout_fn(env, args.num_envs, args.num_steps, masked)
 
     key = jax.random.PRNGKey(0)
-    bstate = sim.bstate
-    # Warmup: compile + one timed-region dry run.
-    bstate, s = run(bstate, key)
+    bstate, out = sim.bstate, sim.last_out
+    bstate, out, s = run(bstate, out, key)  # warmup/compile
     s.block_until_ready()
 
-    # Single timed region over all repeats: each run consumes the donated
-    # state of the previous, so execution is forcibly sequential and one
-    # final sync covers everything (robust to async dispatch/RPC timing).
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
     t0 = time.perf_counter()
     checks = []
     for r in range(args.repeats):
-        bstate, s = run(bstate, jax.random.fold_in(key, r))
+        bstate, out, s = run(bstate, out, jax.random.fold_in(key, r))
         checks.append(s)
     for s in checks:
         s.block_until_ready()
     dt = time.perf_counter() - t0
-    best = args.repeats * args.num_steps * args.num_envs / dt
 
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    sps = args.repeats * args.num_steps * args.num_envs / dt
+    tag = args.layout or {"overcooked": "cramped_room", "overcooked2": "simple",
+                          "hanabi": "full"}.get(args.env, "")
+    metric = f"{args.env}{'_' + tag if tag else ''}_steps_per_s"
     print(
         json.dumps(
             {
-                "metric": f"overcooked_{args.layout}_steps_per_s",
-                "value": round(best, 1),
+                "metric": metric,
+                "value": round(sps, 1),
                 "unit": "env-steps/s",
-                "vs_baseline": round(best / REFERENCE_GPU_STEPS_PER_S, 4),
+                "vs_baseline": round(sps / REFERENCE_GPU[args.env], 4),
             }
         )
     )

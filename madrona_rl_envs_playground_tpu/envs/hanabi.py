@@ -91,6 +91,27 @@ class State:
 M_DISCARD, M_PLAY, M_REVEAL_C, M_REVEAL_R, M_INVALID = 0, 1, 2, 3, 4
 
 
+# Dynamic one-element get/set expressed as arange-compare selects: under vmap
+# a traced index would otherwise lower to an XLA gather/scatter, which the TPU
+# executes orders of magnitude slower than these pure-VPU masked ops (the
+# arrays involved are only 50/10/5 wide).
+def _get1(arr: Array, idx: Array) -> Array:
+    k = jnp.arange(arr.shape[-1])
+    return jnp.sum(jnp.where(k == idx, arr, jnp.zeros_like(arr)), axis=-1)
+
+
+def _set1(arr: Array, idx: Array, val: Array) -> Array:
+    k = jnp.arange(arr.shape[-1])
+    return jnp.where(k == idx, jnp.asarray(val, arr.dtype), arr)
+
+
+def _setrow(mat: Array, row_idx: Array, new_row: Array) -> Array:
+    sel = (jnp.arange(mat.shape[0]) == row_idx).reshape(
+        (mat.shape[0],) + (1,) * (mat.ndim - 1)
+    )
+    return jnp.where(sel, new_row, mat)
+
+
 class Env(EnvBase):
     reward_dtype = jnp.float32
     obs_dtype = jnp.int8
@@ -148,8 +169,8 @@ class Env(EnvBase):
     def _draw(self, deck, size, v):
         """Random-swap draw (sim.cpp:45-52). Returns (deck', size', v', card)."""
         v, loc = rng.randint(v, size)
-        card = deck[loc]
-        deck = deck.at[loc].set(deck[size - 1])
+        card = _get1(deck, loc)
+        deck = _set1(deck, loc, _get1(deck, size - 1))
         return deck, size - 1, v, card
 
     def init_core(self, episode_idx: Array) -> State:
@@ -163,7 +184,7 @@ class Env(EnvBase):
         def deal(i, carry):
             deck, size, v, cards = carry
             deck, size, v, card = self._draw(deck, size, v)
-            cards = cards.reshape(-1).at[i].set(card).reshape(P, H)
+            cards = _set1(cards.reshape(-1), i, card).reshape(P, H)
             return deck, size, v, cards
 
         deck, size, v, hand_cards = lax.fori_loop(
@@ -215,33 +236,54 @@ class Env(EnvBase):
 
         # --- branch B: empty deck — shift slots (idx, size-1) left by one
         k = jnp.arange(H)
-        size_here = s.hand_size[agent]
+        size_here = _get1(s.hand_size, agent)
         shift_sel = (k >= idx) & (k < size_here - 1)
 
         def shift_row(row):
             return jnp.where(shift_sel, jnp.roll(row, -1, axis=-1), row)
 
-        cards_b = shift_row(s.hand_cards[agent])
-        plaus_b = shift_row(s.hand_plausible[agent])
-        kc_b = shift_row(s.known_color[agent])
-        kr_b = shift_row(s.known_rank[agent])
-
-        new_cards = jnp.where(deck_empty, cards_b, s.hand_cards[agent].at[idx].set(card))
-        new_plaus = jnp.where(
-            deck_empty, plaus_b, s.hand_plausible[agent].at[idx].set(self._valid_mask)
+        a_cards = jnp.sum(
+            jnp.where((jnp.arange(s.hand_cards.shape[0]) == agent)[:, None], s.hand_cards, 0),
+            axis=0,
         )
-        new_kc = jnp.where(deck_empty, kc_b, s.known_color[agent].at[idx].set(-1))
-        new_kr = jnp.where(deck_empty, kr_b, s.known_rank[agent].at[idx].set(-1))
+        a_plaus = jnp.sum(
+            jnp.where(
+                (jnp.arange(s.hand_plausible.shape[0]) == agent)[:, None],
+                s.hand_plausible,
+                jnp.uint32(0),
+            ),
+            axis=0,
+        )
+        a_kc = jnp.sum(
+            jnp.where((jnp.arange(s.known_color.shape[0]) == agent)[:, None], s.known_color, 0),
+            axis=0,
+        )
+        a_kr = jnp.sum(
+            jnp.where((jnp.arange(s.known_rank.shape[0]) == agent)[:, None], s.known_rank, 0),
+            axis=0,
+        )
+
+        cards_b = shift_row(a_cards)
+        plaus_b = shift_row(a_plaus)
+        kc_b = shift_row(a_kc)
+        kr_b = shift_row(a_kr)
+
+        new_cards = jnp.where(deck_empty, cards_b, _set1(a_cards, idx, card))
+        new_plaus = jnp.where(deck_empty, plaus_b, _set1(a_plaus, idx, self._valid_mask))
+        new_kc = jnp.where(deck_empty, kc_b, _set1(a_kc, idx, -1))
+        new_kr = jnp.where(deck_empty, kr_b, _set1(a_kr, idx, -1))
 
         return s.replace(
             deck=jnp.where(deck_empty, s.deck, deck_a),
             deck_size=jnp.where(deck_empty, s.deck_size, size_a),
             rng_v=jnp.where(deck_empty, s.rng_v, v_a),
-            hand_cards=s.hand_cards.at[agent].set(new_cards),
-            hand_plausible=s.hand_plausible.at[agent].set(new_plaus),
-            hand_size=s.hand_size.at[agent].add(jnp.where(deck_empty, -1, 0)),
-            known_color=s.known_color.at[agent].set(new_kc),
-            known_rank=s.known_rank.at[agent].set(new_kr),
+            hand_cards=_setrow(s.hand_cards, agent, new_cards),
+            hand_plausible=_setrow(s.hand_plausible, agent, new_plaus),
+            hand_size=s.hand_size - jnp.where(
+                (jnp.arange(s.hand_size.shape[0]) == agent) & deck_empty, 1, 0
+            ),
+            known_color=_setrow(s.known_color, agent, new_kc),
+            known_rank=_setrow(s.known_rank, agent, new_kr),
         )
 
     def transition(self, s: State, actions: Array):
@@ -249,7 +291,7 @@ class Env(EnvBase):
 
         s = s.replace(turns_to_play=s.turns_to_play - (s.deck_size == 0).astype(jnp.int32))
         agent = s.cur_player
-        uid = actions[agent]
+        uid = _get1(actions, agent)
 
         # classify the move
         is_discard = uid < H
@@ -261,7 +303,7 @@ class Env(EnvBase):
 
         card_idx = jnp.where(is_discard, uid, uid - H)  # for discard/play
         card_idx = jnp.clip(card_idx, 0, H - 1)
-        card = s.hand_cards[agent, card_idx]
+        card = _get1(_get1(s.hand_cards.T, agent), card_idx)
         card_color = card // R
         card_rank = card % R
 
@@ -272,11 +314,11 @@ class Env(EnvBase):
         info = s.info_tokens + is_discard.astype(jnp.int32)
 
         # ---- play -------------------------------------------------------
-        success = is_play & (s.fireworks[card_color] == card_rank)
+        success = is_play & (_get1(s.fireworks, card_color) == card_rank)
         fireworks = s.fireworks + (
             success.astype(jnp.int32) * jax.nn.one_hot(card_color, C, dtype=jnp.int32)
         )
-        completed = success & (fireworks[card_color] == R)
+        completed = success & (_get1(fireworks, card_color) == R)
         info = info + completed.astype(jnp.int32)
         failed = is_play & ~success
         disc_counts = disc_counts + (
@@ -293,8 +335,12 @@ class Env(EnvBase):
         target = (agent + tgt_off) % P
         info = info - (is_rc | is_rr).astype(jnp.int32)
 
-        t_cards = s.hand_cards[target]
-        t_size = s.hand_size[target]
+        rowsel = lambda m: jnp.sum(
+            jnp.where((jnp.arange(m.shape[0]) == target)[:, None], m, jnp.zeros_like(m)),
+            axis=0,
+        )
+        t_cards = rowsel(s.hand_cards)
+        t_size = _get1(s.hand_size, target)
         slot = jnp.arange(H)
         live = slot < t_size
         match_c = (t_cards // R == rev_color) & live
@@ -308,13 +354,13 @@ class Env(EnvBase):
         ).astype(jnp.uint32)
         del rank_bits
 
-        t_plaus = s.hand_plausible[target]
+        t_plaus = rowsel(s.hand_plausible)
         plaus_rc = jnp.where(match_c, t_plaus & color_mask, t_plaus & ~color_mask)
         plaus_rr = jnp.where(match_r, t_plaus & rank_mask, t_plaus & ~rank_mask)
         new_t_plaus = jnp.where(is_rc, plaus_rc, jnp.where(is_rr, plaus_rr, t_plaus))
 
-        t_kc = s.known_color[target]
-        t_kr = s.known_rank[target]
+        t_kc = rowsel(s.known_color)
+        t_kr = rowsel(s.known_rank)
         new_t_kc = jnp.where(is_rc & match_c, rev_color, t_kc)
         new_t_kr = jnp.where(is_rr & match_r, rev_rank, t_kr)
 
@@ -327,9 +373,9 @@ class Env(EnvBase):
             fireworks=fireworks,
             info_tokens=info,
             life_tokens=life,
-            hand_plausible=s.hand_plausible.at[target].set(new_t_plaus),
-            known_color=s.known_color.at[target].set(new_t_kc),
-            known_rank=s.known_rank.at[target].set(new_t_kr),
+            hand_plausible=_setrow(s.hand_plausible, target, new_t_plaus),
+            known_color=_setrow(s.known_color, target, new_t_kc),
+            known_rank=_setrow(s.known_rank, target, new_t_kr),
             cur_player=(s.cur_player + 1) % P,
             lm_move=jnp.where(
                 is_discard,
