@@ -52,6 +52,34 @@ _VARIANT_TERRAIN = {
 }
 
 
+# Dynamic one-element get/set as arange-compare selects: per-world traced
+# indices under vmap otherwise lower to XLA gather/scatter, which the TPU runs
+# far slower than these pure-VPU masked ops.  Worth it only while the array is
+# small (benchmark layouts have S <= ~100 cells); for huge grids
+# (many_player_layout-scale) the quadratic compare cost loses, so env size
+# gates the strategy (``_SELECT_MAX_CELLS``).
+_SELECT_MAX_CELLS = 512
+
+
+def _get1(arr, idx):
+    k = jnp.arange(arr.shape[-1])
+    return jnp.sum(jnp.where(k == idx, arr, jnp.zeros_like(arr)), axis=-1)
+
+
+def _set1(arr, idx, val):
+    k = jnp.arange(arr.shape[-1])
+    return jnp.where(k == idx, jnp.asarray(val, arr.dtype), arr)
+
+
+def _get1v(arr, idxs):
+    # arr [S], idxs [P] -> [P]
+    k = jnp.arange(arr.shape[-1])
+    return jnp.sum(
+        jnp.where(k[None, :] == idxs[:, None], arr[None, :], jnp.zeros_like(arr)[None, :]),
+        axis=-1,
+    )
+
+
 @chex.dataclass(frozen=True)
 class State:
     obj_name: Array       # [S] int32
@@ -181,6 +209,12 @@ class OvercookedEnv(EnvBase):
         rtimes = jnp.asarray(self.recipe_times, jnp.int32)
         rvals = jnp.asarray(self.recipe_values, jnp.int32)
         v1 = self.variant == "v1"
+        if S <= _SELECT_MAX_CELLS:
+            cget, cset, cgetv = _get1, _set1, _get1v
+        else:
+            cget = lambda a, i: a[i]
+            cset = lambda a, i, v: a.at[i].set(v)
+            cgetv = lambda a, i: a[i]
 
         # Pot occupancy snapshot taken before any interaction resolves
         # (oracle: get_pot_states at resolve_interacts entry).
@@ -199,10 +233,12 @@ class OvercookedEnv(EnvBase):
             a = actions[p]
             do = a == A_INTERACT
             ipos = self._move(state.pos[p], state.orient[p])
-            t = terr[ipos]
+            t = cget(terr, ipos)
             # Snapshot held + cell fields BEFORE mutation.
             held, held_o, held_t, held_k = hn[p], ho[p], ht[p], htk[p]
-            cn, co, ct, ctk = on[ipos], oo[ipos], ot[ipos], otk[ipos]
+            cn, co, ct, ctk = (
+                cget(on, ipos), cget(oo, ipos), cget(ot, ipos), cget(otk, ipos)
+            )
 
             place = do & (t == T_COUNTER) & (held != O_NONE) & (cn == O_NONE)
             take = do & (t == T_COUNTER) & (held == O_NONE) & (cn != O_NONE)
@@ -218,7 +254,7 @@ class OvercookedEnv(EnvBase):
                 dish_useful = jnp.bool_(False)
 
             at_pot = do & (t == T_POT)
-            cell_time = rtimes[4 * co + ct]
+            cell_time = _get1(rtimes, 4 * co + ct)
             cell_is_soup = cn == O_SOUP
             cell_ready = cell_is_soup & (ctk >= 0) & (ctk >= cell_time)
             cell_cooking = cell_is_soup & (ctk >= 0) & (ctk < cell_time)
@@ -256,7 +292,7 @@ class OvercookedEnv(EnvBase):
                 )
 
             serve = do & (t == self.t_serving) & (held == O_SOUP)
-            deliver_val = rvals[4 * held_o + held_t]
+            deliver_val = _get1(rvals, 4 * held_o + held_t)
 
             reward = (
                 reward
@@ -292,22 +328,26 @@ class OvercookedEnv(EnvBase):
 
             # --- grid-cell update at ipos ---------------------------------
             clear = pickup  # object leaves the cell
-            on = on.at[ipos].set(
+            on = cset(
+                on, ipos,
                 jnp.where(
                     clear, O_NONE, jnp.where(place, held, jnp.where(add, O_SOUP, cn))
-                )
+                ),
             )
-            oo = oo.at[ipos].set(
+            oo = cset(
+                oo, ipos,
                 jnp.where(
                     clear, 0, jnp.where(place, held_o, jnp.where(add, new_on_cnt, co))
-                )
+                ),
             )
-            ot = ot.at[ipos].set(
+            ot = cset(
+                ot, ipos,
                 jnp.where(
                     clear, 0, jnp.where(place, held_t, jnp.where(add, new_to_cnt, ct))
-                )
+                ),
             )
-            otk = otk.at[ipos].set(
+            otk = cset(
+                otk, ipos,
                 jnp.where(
                     clear,
                     -1,
@@ -316,7 +356,7 @@ class OvercookedEnv(EnvBase):
                         0,
                         jnp.where(place, held_k, jnp.where(add, eff_tk, ctk)),
                     ),
-                )
+                ),
             )
             return (on, oo, ot, otk, hn, ho, ht, htk, reward)
 
@@ -341,7 +381,7 @@ class OvercookedEnv(EnvBase):
         tgt = self._move(state.pos, actions)
         prop_or = jnp.where(is_dir, actions, state.orient)
         prop_pos = jnp.where(
-            is_interact | (terr[tgt] != T_AIR), state.pos, tgt
+            is_interact | (cgetv(terr, tgt) != T_AIR), state.pos, tgt
         )
         eye = jnp.eye(P, dtype=jnp.bool_)
         same = (prop_pos[:, None] == prop_pos[None, :]) & ~eye
