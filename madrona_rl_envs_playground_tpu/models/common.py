@@ -27,10 +27,18 @@ def dense(features: int, scale: float = 2.0**0.5, name=None) -> nn.Dense:
     )
 
 
+# Large finite mask value instead of -inf: exp(-1e9) == 0 exactly in f32 so
+# sampling/probabilities are unaffected, but no infinity ever enters the
+# graph — `-inf` poisons the entropy backward pass with `0 * -inf = NaN`
+# cotangents (the reference's torch path tolerates it; MAPPO uses -1e10 for
+# the same reason, train/MAPPO/utils/distributions.py).
+_MASK_NEG = -1e9
+
+
 def masked_categorical_logits(logits: Array, action_mask) -> Array:
     if action_mask is None:
         return logits
-    return jnp.where(action_mask, logits, -jnp.inf)
+    return jnp.where(action_mask, logits, _MASK_NEG)
 
 
 def dist_log_prob(logits: Array, actions: Array) -> Array:
@@ -41,8 +49,7 @@ def dist_log_prob(logits: Array, actions: Array) -> Array:
 def dist_entropy(logits: Array) -> Array:
     lp = jax.nn.log_softmax(logits, axis=-1)
     p = jnp.exp(lp)
-    # -inf logits give p=0 with lp=-inf; zero those products instead of nan.
-    return -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=-1)
+    return -jnp.sum(p * lp, axis=-1)
 
 
 def dist_sample(key, logits: Array) -> Array:

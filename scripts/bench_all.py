@@ -1,0 +1,67 @@
+"""All-env benchmark in ONE process (single device claim).
+
+The tunneled TPU occasionally hangs on a fresh process's device grant, so
+serial per-env `bench.py` invocations are unreliable; this driver runs every
+env's fused rollout inside one process and prints one JSON line per env.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax  # noqa: E402
+
+from bench import REFERENCE_GPU, make_env, rollout_fn  # noqa: E402
+from madrona_rl_envs_playground_tpu.core.batch import Simulator  # noqa: E402
+
+
+CONFIGS = [
+    ("overcooked", None, 8192, 1000),
+    ("overcooked2", None, 8192, 1000),
+    ("hanabi", None, 8192, 500),
+    ("cartpole", None, 65536, 1000),
+    ("balance", None, 32768, 1000),
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    for name, layout, num_envs, num_steps in CONFIGS:
+        env = make_env(name, layout, None)
+        sim = Simulator(env, num_envs)
+        run = rollout_fn(env, num_envs, num_steps, masked=(name == "hanabi"))
+        key = jax.random.PRNGKey(0)
+        bstate, out = sim.bstate, sim.last_out
+        bstate, out, s = run(bstate, out, key)
+        s.block_until_ready()
+        t0 = time.perf_counter()
+        checks = []
+        for r in range(args.repeats):
+            bstate, out, s = run(bstate, out, jax.random.fold_in(key, r))
+            checks.append(s)
+        for s in checks:
+            s.block_until_ready()
+        dt = time.perf_counter() - t0
+        sps = args.repeats * num_steps * num_envs / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_steps_per_s",
+                    "value": round(sps, 1),
+                    "unit": "env-steps/s",
+                    "num_envs": num_envs,
+                    "vs_baseline": round(sps / REFERENCE_GPU[name], 4),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
