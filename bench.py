@@ -97,8 +97,8 @@ def main():
                    help="layout (overcooked*) or config name (hanabi)")
     p.add_argument("--num-players", type=int, default=None)
     p.add_argument("--num-envs", type=int, default=8192)
-    p.add_argument("--num-steps", type=int, default=1000)
-    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--num-steps", type=int, default=2000)
+    p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
     args = p.parse_args()
@@ -111,24 +111,29 @@ def main():
     key = jax.random.PRNGKey(0)
     bstate, out = sim.bstate, sim.last_out
     bstate, out, s = run(bstate, out, key)  # warmup/compile
-    s.block_until_ready()
+    float(s)
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
-    t0 = time.perf_counter()
-    checks = []
+    # Per-repeat timing with a device->host VALUE fetch as the barrier: through
+    # the remote-tunnel runtime, block_until_ready on a small output has been
+    # observed to return before the executable actually finishes, so only a
+    # data dependency (reading the result) is a trustworthy sync.  Median of
+    # repeats rejects stragglers from tunnel RPC jitter.
+    times = []
     for r in range(args.repeats):
+        t0 = time.perf_counter()
         bstate, out, s = run(bstate, out, jax.random.fold_in(key, r))
-        checks.append(s)
-    for s in checks:
-        s.block_until_ready()
-    dt = time.perf_counter() - t0
+        float(s)
+        times.append(time.perf_counter() - t0)
 
     if args.profile:
         jax.profiler.stop_trace()
 
-    sps = args.repeats * args.num_steps * args.num_envs / dt
+    times.sort()
+    dt = times[len(times) // 2]
+    sps = args.num_steps * args.num_envs / dt
     tag = args.layout or {"overcooked": "cramped_room", "overcooked2": "simple",
                           "hanabi": "full"}.get(args.env, "")
     metric = f"{args.env}{'_' + tag if tag else ''}_steps_per_s"

@@ -503,20 +503,47 @@ class OvercookedEnv(EnvBase):
                 axis=1,
             )  # [P, 1]
             vals = jnp.ones((P, 1), jnp.int32)
-        held_k = jnp.zeros((S, K), jnp.int32).at[
-            state.pos[:, None], ch_slots
-        ].add(vals, mode="drop")
-        shared_k = shared_k + held_k  # [S, K]
+        if S <= _SELECT_MAX_CELLS:
+            # Scatter-free formulation (see _SELECT_MAX_CELLS note): positions
+            # and channel slots become one-hot compares contracted over tiny
+            # static maps — pure VPU/MXU work under vmap.
+            pos_oh = (state.pos[:, None] == jnp.arange(S)[None, :]).astype(
+                jnp.int32
+            )  # [P, S]
+            slot_oh = (
+                ch_slots[:, :, None] == jnp.arange(K)[None, None, :]
+            ).astype(jnp.int32)  # [P, J, K] (slot value K == "no write" drops out)
+            held_k = jnp.einsum("ps,pjk->sk", pos_oh, vals[:, :, None] * slot_oh)
+            shared_k = shared_k + held_k  # [S, K]
 
-        # Per-observer player channels: presence + orientation blocks.
-        ii = jnp.asarray(np.repeat(np.arange(P), P))          # observer idx
-        jj = jnp.asarray(np.tile(np.arange(P), P))            # player idx
-        ch_pres = jnp.asarray(self._ch_matrix.reshape(-1))    # [P*P]
-        rows = state.pos[jj]
-        player_part = jnp.zeros((P, S, shift), jnp.int32)
-        player_part = player_part.at[ii, rows, ch_pres].add(1)
-        ch_or = P + 4 * ch_pres + state.orient[jj]
-        player_part = player_part.at[ii, rows, ch_or].add(1)
+            ch = jnp.asarray(self._ch_matrix)  # [P_obs, P] static
+            pres_map = (
+                ch[:, :, None] == jnp.arange(shift)[None, None, :]
+            ).astype(jnp.int32)  # [P, P, shift]
+            orient_oh = (
+                state.orient[:, None] == jnp.arange(4)[None, :]
+            ).astype(jnp.int32)  # [P, 4]
+            # orientation channel = P + 4*ch[i,j] + orient[j]
+            omap = (
+                (P + 4 * ch[:, :, None, None] + jnp.arange(4)[None, None, :, None])
+                == jnp.arange(shift)[None, None, None, :]
+            ).astype(jnp.int32)  # [P, P, 4, shift]
+            chan = pres_map + jnp.einsum("jo,ijoc->ijc", orient_oh, omap)
+            player_part = jnp.einsum("js,ijc->isc", pos_oh, chan)
+        else:
+            held_k = jnp.zeros((S, K), jnp.int32).at[
+                state.pos[:, None], ch_slots
+            ].add(vals, mode="drop")
+            shared_k = shared_k + held_k  # [S, K]
+
+            ii = jnp.asarray(np.repeat(np.arange(P), P))          # observer idx
+            jj = jnp.asarray(np.tile(np.arange(P), P))            # player idx
+            ch_pres = jnp.asarray(self._ch_matrix.reshape(-1))    # [P*P]
+            rows = state.pos[jj]
+            player_part = jnp.zeros((P, S, shift), jnp.int32)
+            player_part = player_part.at[ii, rows, ch_pres].add(1)
+            ch_or = P + 4 * ch_pres + state.orient[jj]
+            player_part = player_part.at[ii, rows, ch_or].add(1)
 
         obs = jnp.concatenate(
             [player_part, jnp.broadcast_to(shared_k, (P, S, K))], axis=2

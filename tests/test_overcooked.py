@@ -66,3 +66,13 @@ def test_overcooked_v1_layouts(layout):
 
 def test_overcooked_v1_many_players():
     run_differential("v1", "many_player_layout", horizon=30, steps=40, seed=5, num_players=8)
+
+
+def test_scatter_fallback_path(monkeypatch):
+    """Grids above _SELECT_MAX_CELLS take the gather/scatter branch; force it
+    on a small layout and diff against the oracle."""
+    from madrona_rl_envs_playground_tpu.envs import overcooked_base
+
+    monkeypatch.setattr(overcooked_base, "_SELECT_MAX_CELLS", 0)
+    run_differential("v2", "simple", horizon=23, steps=50, seed=9)
+    run_differential("v1", "cramped_room", horizon=23, steps=50, seed=9)
