@@ -61,11 +61,18 @@ def make_env(name: str, layout: str, num_players):
 
 
 def rollout_fn(env, num_envs: int, num_steps: int, masked: bool):
+    """Fused T-step rollout.  The previous StepOutput rides the scan carry
+    only for mask-sampled (turn-based) envs — for the rest, carrying the obs
+    would force an extra HBM round-trip per step that no consumer needs."""
+
     def body(carry, _):
-        bstate, out, key = carry
+        if masked:
+            bstate, out_prev, key = carry
+        else:
+            bstate, key = carry
         key, sub = jax.random.split(key)
         if masked:
-            logits = jnp.where(out.action_mask, 0.0, -jnp.inf)
+            logits = jnp.where(out_prev.action_mask, 0.0, -jnp.inf)
             actions = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
         else:
             actions = jax.random.randint(
@@ -78,12 +85,15 @@ def rollout_fn(env, num_envs: int, num_steps: int, masked: bool):
             + out.action_mask.astype(jnp.int32).sum()
             + out.done.astype(jnp.int32).sum()
         )
-        return (bstate, out, key), chk
+        return ((bstate, out, key) if masked else (bstate, key)), chk
 
     def run(bstate, out, key):
-        (bstate, out, _), chks = lax.scan(
-            body, (bstate, out, key), None, length=num_steps
-        )
+        if masked:
+            (bstate, out, _), chks = lax.scan(
+                body, (bstate, out, key), None, length=num_steps
+            )
+        else:
+            (bstate, _), chks = lax.scan(body, (bstate, key), None, length=num_steps)
         return bstate, out, chks.sum()
 
     return jax.jit(run)

@@ -505,31 +505,36 @@ class OvercookedEnv(EnvBase):
             vals = jnp.ones((P, 1), jnp.int32)
         if S <= _SELECT_MAX_CELLS:
             # Scatter-free formulation (see _SELECT_MAX_CELLS note): positions
-            # and channel slots become one-hot compares contracted over tiny
-            # static maps — pure VPU/MXU work under vmap.
+            # and channel slots become one-hot compares combined by UNROLLED
+            # sums over the tiny static dims (players, 4 write slots).  Pure
+            # elementwise VPU work — no einsum/dot_general, which XLA lowers
+            # to catastrophically padded per-env matmuls at these sizes.
+            J = ch_slots.shape[1]
             pos_oh = (state.pos[:, None] == jnp.arange(S)[None, :]).astype(
                 jnp.int32
             )  # [P, S]
-            slot_oh = (
-                ch_slots[:, :, None] == jnp.arange(K)[None, None, :]
-            ).astype(jnp.int32)  # [P, J, K] (slot value K == "no write" drops out)
-            held_k = jnp.einsum("ps,pjk->sk", pos_oh, vals[:, :, None] * slot_oh)
+            kr = jnp.arange(K)
+            held_k = jnp.zeros((S, K), jnp.int32)
+            for p in range(P):
+                valsk = jnp.zeros((K,), jnp.int32)
+                for j in range(J):
+                    valsk = valsk + vals[p, j] * (ch_slots[p, j] == kr).astype(jnp.int32)
+                held_k = held_k + pos_oh[p][:, None] * valsk[None, :]
             shared_k = shared_k + held_k  # [S, K]
 
-            ch = jnp.asarray(self._ch_matrix)  # [P_obs, P] static
-            pres_map = (
-                ch[:, :, None] == jnp.arange(shift)[None, None, :]
-            ).astype(jnp.int32)  # [P, P, shift]
-            orient_oh = (
-                state.orient[:, None] == jnp.arange(4)[None, :]
-            ).astype(jnp.int32)  # [P, 4]
-            # orientation channel = P + 4*ch[i,j] + orient[j]
-            omap = (
-                (P + 4 * ch[:, :, None, None] + jnp.arange(4)[None, None, :, None])
-                == jnp.arange(shift)[None, None, None, :]
-            ).astype(jnp.int32)  # [P, P, 4, shift]
-            chan = pres_map + jnp.einsum("jo,ijoc->ijc", orient_oh, omap)
-            player_part = jnp.einsum("js,ijc->isc", pos_oh, chan)
+            # orientation channel = P + 4*ch[i,j] + orient[j]; presence = ch[i,j]
+            cr = jnp.arange(shift)
+            rows = []
+            for i in range(P):
+                acc = jnp.zeros((S, shift), jnp.int32)
+                for j in range(P):
+                    c1 = int(self._ch_matrix[i, j])
+                    chan_j = (cr == c1).astype(jnp.int32) + (
+                        cr == P + 4 * c1 + state.orient[j]
+                    ).astype(jnp.int32)  # [shift]
+                    acc = acc + pos_oh[j][:, None] * chan_j[None, :]
+                rows.append(acc)
+            player_part = jnp.stack(rows)  # [P, S, shift]
         else:
             held_k = jnp.zeros((S, K), jnp.int32).at[
                 state.pos[:, None], ch_slots
