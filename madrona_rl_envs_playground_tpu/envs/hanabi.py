@@ -112,6 +112,19 @@ def _setrow(mat: Array, row_idx: Array, new_row: Array) -> Array:
     return jnp.where(sel, new_row, mat)
 
 
+def _take_rows(mat: Array, order: Array) -> Array:
+    """mat[order] for a tiny traced row-index vector, as unrolled selects
+    (a traced gather under vmap is far slower on TPU)."""
+    P = mat.shape[0]
+    outs = []
+    for k in range(order.shape[0]):
+        acc = jnp.zeros_like(mat[0])
+        for p in range(P):
+            acc = acc + jnp.where(order[k] == p, mat[p], jnp.zeros_like(mat[0]))
+        outs.append(acc)
+    return jnp.stack(outs)
+
+
 class Env(EnvBase):
     reward_dtype = jnp.float32
     obs_dtype = jnp.int8
@@ -427,12 +440,12 @@ class Env(EnvBase):
 
         # -- hands: partners' actual cards, observer-relative order ----------
         partner_order = (a + 1 + jnp.arange(P - 1)) % P
-        p_cards = s.hand_cards[partner_order]            # [P-1, H]
-        p_live = slot[None, :] < s.hand_size[partner_order][:, None]
+        p_cards = _take_rows(s.hand_cards, partner_order)            # [P-1, H]
+        p_live = slot[None, :] < _take_rows(s.hand_size[:, None], partner_order)
         hands_oh = jax.nn.one_hot(p_cards, BPC, dtype=jnp.int8) * p_live[..., None].astype(jnp.int8)
         parts.append(hands_oh.reshape(-1))
         all_order = (a + jnp.arange(P)) % P
-        parts.append((s.hand_size[all_order] < H).astype(jnp.int8))
+        parts.append((_take_rows(s.hand_size[:, None], all_order)[:, 0] < H).astype(jnp.int8))
 
         # -- board ------------------------------------------------------------
         parts.append((jnp.arange(self.max_deck_bits) < s.deck_size).astype(jnp.int8))
@@ -477,12 +490,12 @@ class Env(EnvBase):
         know_order = (a + jnp.arange(P)) % P
         offsets = jnp.arange(P)
         plaus_bit = (
-            (s.hand_plausible[know_order] >> offsets[:, None].astype(jnp.uint32)) & 1
+            (_take_rows(s.hand_plausible, know_order) >> offsets[:, None].astype(jnp.uint32)) & 1
         ).astype(jnp.int8)  # [P, H]
-        k_live = (slot[None, :] < s.hand_size[know_order][:, None]).astype(jnp.int8)
+        k_live = (slot[None, :] < _take_rows(s.hand_size[:, None], know_order)).astype(jnp.int8)
         blk_plaus = jnp.broadcast_to((plaus_bit * k_live)[:, :, None], (P, H, BPC))
-        kc = s.known_color[know_order]
-        kr = s.known_rank[know_order]
+        kc = _take_rows(s.known_color, know_order)
+        kr = _take_rows(s.known_rank, know_order)
         blk_c = (jnp.arange(C)[None, None, :] == kc[:, :, None]).astype(jnp.int8) * k_live[:, :, None]
         blk_r = (jnp.arange(R)[None, None, :] == kr[:, :, None]).astype(jnp.int8) * k_live[:, :, None]
         know = jnp.concatenate([blk_plaus, blk_c, blk_r], axis=2)  # [P, H, BPC+C+R]
@@ -491,20 +504,21 @@ class Env(EnvBase):
         obs = jnp.concatenate(parts)
 
         # -- own hand appended to the state tensor only ------------------------
-        own_live = slot < s.hand_size[a]
-        own = jax.nn.one_hot(s.hand_cards[a], BPC, dtype=jnp.int8) * own_live[:, None].astype(jnp.int8)
+        own_live = slot < _get1(s.hand_size, a)
+        own_cards = _take_rows(s.hand_cards, a[None])[0]
+        own = jax.nn.one_hot(own_cards, BPC, dtype=jnp.int8) * own_live[:, None].astype(jnp.int8)
         state_vec = jnp.concatenate([obs, own.reshape(-1)])
         return obs, state_vec
 
     def _mask_seat(self, s: State, a: Array):
         C, R, P, H = self.colors, self.ranks, self.players, self.hand
         slot = jnp.arange(H)
-        live = slot < s.hand_size[a]
+        live = slot < _get1(s.hand_size, a)
         discard_ok = live & (s.info_tokens < self.max_info)
         play_ok = live
 
         partner_order = (a + 1 + jnp.arange(P - 1)) % P
-        p_cards = s.hand_cards[partner_order]  # [P-1, H] — scans dead slots too (quirk)
+        p_cards = _take_rows(s.hand_cards, partner_order)  # [P-1, H] — scans dead slots too (quirk)
         has_color = jnp.any(
             p_cards[:, :, None] // R == jnp.arange(C)[None, None, :], axis=1
         )  # [P-1, C]
