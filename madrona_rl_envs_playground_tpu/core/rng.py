@@ -53,6 +53,21 @@ def next_uint(v: jnp.ndarray) -> jnp.ndarray:
     return _LCG_A * v + _LCG_C
 
 
+def lcg_skip_constants(k: int):
+    """(A^k, C_k) mod 2^32 such that v_k = A^k * v_0 + C_k — lets k sequential
+    LCG draws be evaluated in parallel from the seed."""
+    a, c = 1, 0
+    for _ in range(k):
+        a = (a * 1664525) % (1 << 32)
+        c = (c * 1664525 + 1013904223) % (1 << 32)
+    return jnp.uint32(a), jnp.uint32(c)
+
+
+def uniform_from(v: jnp.ndarray):
+    """The [0,1) sample the LCG word v itself encodes (low 24 bits)."""
+    return (v & _MASK24).astype(jnp.float32) * _INV_2_24
+
+
 def uniform(v: jnp.ndarray):
     """Draw one float32 in [0, 1) with 24-bit resolution; returns (v', sample).
 

@@ -188,21 +188,65 @@ class Env(EnvBase):
 
     def init_core(self, episode_idx: Array) -> State:
         C, R, P, H = self.colors, self.ranks, self.players, self.hand
-        v = rng.seed(episode_idx)
-        deck = jnp.asarray(self._deck0)
-        size = jnp.int32(self.max_cards)
+        v0 = rng.seed(episode_idx)
+        M = self.max_cards
+        D = P * H  # number of deal draws
 
-        hand_cards = jnp.zeros((P, H), jnp.int32)
+        # The deal's draw sequence is action-independent, so the whole
+        # swap-draw loop (reference sim.cpp:45-52 repeated P*H times at
+        # resetWorld) collapses to closed form: the LCG words of all D draws
+        # come straight from the seed via precomputed (A^k, C_k), and the
+        # swap chain resolves with an unrolled last-write-wins compare
+        # cascade over the <=D touched positions — no sequential [N, M] deck
+        # updates.  This runs every step for every world (fused auto-reset),
+        # so it is hot.
+        locs = []
+        for k in range(D):
+            a_k, c_k = rng.lcg_skip_constants(k + 1)
+            v_k = a_k * v0 + c_k
+            u = rng.uniform_from(v_k)
+            locs.append((jnp.float32(M - k) * u).astype(jnp.int32))
+        a_D, c_D = rng.lcg_skip_constants(D)
+        v = a_D * v0 + c_D
 
-        def deal(i, carry):
-            deck, size, v, cards = carry
-            deck, size, v, card = self._draw(deck, size, v)
-            cards = _set1(cards.reshape(-1), i, card).reshape(P, H)
-            return deck, size, v, cards
+        deck0 = self._deck0  # static numpy [M]
 
-        deck, size, v, hand_cards = lax.fori_loop(
-            0, P * H, deal, (deck, size, v, hand_cards)
-        )
+        def orig(loc):
+            # deck0[loc] arithmetically: color = loc // cards_per_color,
+            # rank from the static within-color pattern via thresholds.
+            cpc = self.cards_per_color
+            rem = loc % cpc
+            rank = jnp.int32(0)
+            acc = 0
+            for r in range(R):
+                acc += self.cr_num[r]
+                rank = jnp.where(rem >= acc, r + 1, rank)
+            return (loc // cpc) * R + rank
+
+        # moved[j] = value sitting at position M-1-j just before draw j
+        moved = []
+        for j in range(D):
+            tgt = M - 1 - j  # static
+            val = jnp.int32(int(deck0[tgt]))
+            for i in range(j):
+                val = jnp.where(locs[i] == tgt, moved[i], val)
+            moved.append(val)
+
+        # dealt card k = last value written at locs[k] (original if none)
+        cards = []
+        for k in range(D):
+            val = orig(locs[k])
+            for j in range(k):
+                val = jnp.where(locs[j] == locs[k], moved[j], val)
+            cards.append(val)
+        hand_cards = jnp.stack(cards).reshape(P, H)
+
+        # final deck: last-write-wins over the touched positions
+        pos = jnp.arange(M)
+        deck = jnp.asarray(deck0)
+        for j in range(D):
+            deck = jnp.where(pos == locs[j], moved[j], deck)
+        size = jnp.int32(M - D)
 
         obs = jnp.zeros((P, self.obs_size), jnp.int8)
         st = jnp.zeros((P, self.state_size), jnp.int8)
