@@ -14,14 +14,29 @@ def main():
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--run-dir", default=None)
+    p.add_argument("--use-baseline", action="store_true",
+                   help="python oracle envs under SyncVectorEnv "
+                        "(reference: scripts/cartpole_train_numpy.py)")
     args = p.parse_args()
 
-    from madrona_rl_envs_playground_tpu.api import TpuVecEnv
+    from madrona_rl_envs_playground_tpu.api import SyncVectorEnv, TpuVecEnv
     from madrona_rl_envs_playground_tpu.envs import cartpole
     from madrona_rl_envs_playground_tpu.train import CleanPPOAgent
 
-    env = cartpole.Env()
-    venv = TpuVecEnv(env, num_envs=args.num_envs)
+    if args.use_baseline:
+        from madrona_rl_envs_playground_tpu.api.spaces import Box, Discrete
+        from madrona_rl_envs_playground_tpu.oracles.adapters import CartpoleOracleEnv
+
+        venv = SyncVectorEnv(
+            [lambda i=i: CartpoleOracleEnv(seed=args.seed + i)
+             for i in range(args.num_envs)]
+        )
+        venv.observation_space = Box(-float("inf"), float("inf"), (4,))
+        venv.share_observation_space = venv.observation_space
+        venv.action_space = Discrete(2)
+    else:
+        env = cartpole.Env()
+        venv = TpuVecEnv(env, num_envs=args.num_envs)
     num_updates = args.total_timesteps // (args.num_steps * args.num_envs)
     agent = CleanPPOAgent(
         venv, "cartpole", num_updates=num_updates, num_steps=args.num_steps,
