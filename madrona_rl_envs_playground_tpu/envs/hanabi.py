@@ -39,7 +39,6 @@ import chex
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..core import rng
 from ..core.base import EnvBase

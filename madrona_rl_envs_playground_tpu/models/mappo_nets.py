@@ -27,7 +27,6 @@ import dataclasses
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 from jax.nn.initializers import constant, orthogonal, xavier_uniform
 

@@ -23,10 +23,9 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...core.batch import batched_reset, batched_step
-from ...models.common import dist_log_prob, dist_sample
+from ...models.common import dist_sample
 from ...utils.logger import ScalarLogger
 from .buffer import MAPPOBuffer, compute_returns, init_buffer
 from .config import MAPPOConfig

@@ -30,7 +30,6 @@ from .policy import MAPPOPolicy, PolicyState
 from .valuenorm import (
     ValueNormState,
     init_valuenorm,
-    popart_update,
     vn_denormalize,
     vn_normalize,
     vn_update,

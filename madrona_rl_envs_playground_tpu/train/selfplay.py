@@ -25,12 +25,10 @@ Credit semantics preserved from the reference agents
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
-import chex
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..core.batch import batched_reset, batched_step

@@ -1,11 +1,19 @@
 """Test harness configuration.
 
-Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-exercised without TPU hardware (the driver separately dry-runs the multichip
-path).  Must set env vars before the first jax import.
+Preferred: run the suite on a virtual 8-device CPU mesh —
+
+    PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python -m pytest tests/ -q
+
+(clearing PYTHONPATH of the axon sitecustomize is required; it registers the
+tunneled-TPU backend at interpreter startup, before this file can act, so
+the env vars below only take effect when that site hook is absent).  With
+the ambient environment the suite runs against the real TPU instead — same
+tests, ~5x slower; pallas-kernel tests are gated separately.
 """
 
 import os
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -17,6 +25,29 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # Persistent compilation cache: recompiling the env step graphs dominates test
 # time otherwise (the analog of the reference's MADRONA_MWGPU_KERNEL_CACHE).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO_ROOT, ".cache/jax")
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+
+def pytest_collection_modifyitems(config, items):
+    """On the tunneled TPU backend, host-driven training/API loop tests run
+    ~100x slower (per-step RPC latency) and push the suite past common CI
+    timeouts; skip them there.  The differential simulator suites still run.
+    Full coverage: CPU invocation per the module docstring, or force with
+    MRE_TPU_TESTS=1."""
+    import jax
+    import pytest
+
+    if jax.default_backend() != "tpu" or os.environ.get("MRE_TPU_TESTS") == "1":
+        return
+    heavy = {"test_mappo", "test_cleanrl_ppo", "test_api", "test_baseline_envs"}
+    skip = pytest.mark.skip(
+        reason="host-driven loop test; ~100x slower through the TPU tunnel — "
+        "run on CPU (see conftest docstring) or set MRE_TPU_TESTS=1"
+    )
+    for item in items:
+        if item.module.__name__.split(".")[-1] in heavy:
+            item.add_marker(skip)
