@@ -1,4 +1,7 @@
-"""Hanabi CleanRL PPO training (reference: scripts/hanabi_train.py).
+"""Hanabi CleanRL PPO training (reference: scripts/hanabi_train.py,
+with the fixed-budget variants folded in: ``--total-timesteps`` is the
+``hanabi_train_experience`` fixed-experience mode, ``--max-seconds`` the
+``hanabi_train_timed`` fixed-wall-clock mode).
 
 Decentralized mode (default): two independent ``CleanPPOAgent``s — ego and
 partner — each learning from its own turn-based trajectory with active-mask
@@ -21,6 +24,8 @@ def main():
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--single", action="store_true", help="centralized self-play")
+    p.add_argument("--max-seconds", type=float, default=None,
+                   help="stop after this much wall-clock (hanabi_train_timed)")
     p.add_argument("--run-dir", default=None)
     args = p.parse_args()
 
@@ -51,8 +56,13 @@ def main():
         lr=args.lr, seed=args.seed, run_dir=args.run_dir,
         verbose=args.run_dir is not None,
     )
+    import time
+
     obs = venv.reset()
+    t0 = time.time()
     for _ in range(num_updates * args.num_steps):
+        if args.max_seconds is not None and time.time() - t0 > args.max_seconds:
+            break
         act = ego.get_action(obs)
         obs, rew, done, _ = venv.step(act)
         ego.update(rew, done)
