@@ -45,6 +45,7 @@ class SelfPlayConfig:
     gamma: float = 0.99
     gae_lambda: float = 0.95
     update_epochs: int = 4
+    num_minibatches: int = 1
     lr: float = 2.5e-4
     ent_coef: float = 0.01
     vf_coef: float = 0.5
@@ -240,43 +241,69 @@ class SelfPlayPPO:
         b_logprobs = flat(buf.logprobs)
         b_returns, b_values = flat(returns), flat(buf.values)
 
-        def loss_fn(p):
-            logits, newvalue = self.net.apply(p, b_obs, b_states, b_masks)
-            newlogprob = dist_log_prob(logits, b_actions)
+        # Minibatching (row chunks) bounds the update's activation memory —
+        # the full T*N*P batch with a 512-wide tower can exceed HBM at large
+        # env counts.  nmb=1 reproduces the reference's full-batch behavior.
+        nmb = cfg.num_minibatches
+        B_rows = T * M
+        mb = B_rows // nmb
+        batch = (b_obs, b_states, b_actions, b_masks, b_logprobs, b_adv,
+                 b_returns, b_values, b_active)
+        chunks = jax.tree_util.tree_map(
+            lambda x: x[: nmb * mb].reshape((nmb, mb) + x.shape[1:]), batch
+        )
+
+        def mb_loss(p, chunk):
+            (c_obs, c_states, c_actions, c_masks, c_logprobs, c_adv,
+             c_returns, c_values, c_active) = chunk
+            n_act = jnp.maximum(c_active.sum(), 1.0)
+            mmean = lambda x: (x * c_active).sum() / n_act
+            logits, newvalue = self.net.apply(p, c_obs, c_states, c_masks)
+            newlogprob = dist_log_prob(logits, c_actions)
             entropy = dist_entropy(logits)
-            logratio = newlogprob - b_logprobs
+            logratio = newlogprob - c_logprobs
             ratio = jnp.exp(logratio)
-            pg = masked_mean(
+            pg = mmean(
                 jnp.maximum(
-                    -b_adv * ratio,
-                    -b_adv * jnp.clip(ratio, 1 - cfg.clip_coef, 1 + cfg.clip_coef),
+                    -c_adv * ratio,
+                    -c_adv * jnp.clip(ratio, 1 - cfg.clip_coef, 1 + cfg.clip_coef),
                 )
             )
             if cfg.clip_vloss:
-                vl = 0.5 * masked_mean(
+                vl = 0.5 * mmean(
                     jnp.maximum(
-                        (newvalue - b_returns) ** 2,
+                        (newvalue - c_returns) ** 2,
                         (
-                            b_values
-                            + jnp.clip(newvalue - b_values, -cfg.clip_coef, cfg.clip_coef)
-                            - b_returns
+                            c_values
+                            + jnp.clip(newvalue - c_values, -cfg.clip_coef, cfg.clip_coef)
+                            - c_returns
                         )
                         ** 2,
                     )
                 )
             else:
-                vl = 0.5 * masked_mean((newvalue - b_returns) ** 2)
-            ent = masked_mean(entropy)
+                vl = 0.5 * mmean((newvalue - c_returns) ** 2)
+            ent = mmean(entropy)
             total = pg - cfg.ent_coef * ent + vl * cfg.vf_coef
-            kl = masked_mean((ratio - 1) - logratio)
+            kl = mmean((ratio - 1) - logratio)
             return total, (pg, vl, ent, kl)
 
         def epoch_body(carry, _):
             params, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), aux
+
+            def mb_body(carry2, chunk):
+                params, opt_state = carry2
+                (loss, aux), grads = jax.value_and_grad(mb_loss, has_aux=True)(
+                    params, chunk
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), auxes = jax.lax.scan(
+                mb_body, (params, opt_state), chunks
+            )
+            return (params, opt_state), jax.tree_util.tree_map(jnp.mean, auxes)
 
         (params, opt_state), auxes = jax.lax.scan(
             epoch_body,
