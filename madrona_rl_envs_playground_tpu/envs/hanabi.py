@@ -45,7 +45,10 @@ from ..core.base import EnvBase
 
 Array = jnp.ndarray
 
-NUM_MOVES_MAX = 20
+# Reference C++ caps the move space at 20 (src/hanabi_env/sim.hpp:15-16,
+# enough for its 2-player configs); this build sizes the mask to the
+# config's actual move count, so >2-player games fit too.
+NUM_MOVES_MAX = 60
 
 FULL_CONFIG = dict(colors=5, ranks=5, players=2, max_information_tokens=8, max_life_tokens=3)
 SMALL_CONFIG = dict(colors=2, ranks=5, players=2, max_information_tokens=3, max_life_tokens=1)

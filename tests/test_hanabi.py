@@ -82,3 +82,38 @@ def test_empty_deck_endgame():
     run_differential(
         "full", steps=140, seed=2, allowed=lambda u: not (env_h <= u < 2 * env_h)
     )
+
+
+def test_three_player_differential():
+    """3-player game (reference bindings accept `players`; its NUM_MOVES cap
+    covers only 2p — here the move space is sized per config)."""
+    cfg = dict(colors=2, ranks=5, players=3, max_information_tokens=3,
+               max_life_tokens=2)
+    env = Env(**cfg)
+    sim = Simulator(env, 4)
+    counter = Counter()
+    oracles = [HanabiOracle(counter, **cfg) for _ in range(4)]
+    check_all(sim.last_out, oracles, -1)
+    rs = np.random.RandomState(5)
+    out = sim.last_out
+    for t in range(60):
+        mask = np.asarray(out.action_mask)
+        active = np.asarray(out.active)
+        actions = np.zeros((4, env.players), np.int32)
+        chosen = []
+        for i in range(4):
+            seat = int(np.nonzero(active[i])[0][0])
+            uid = sample_action(mask[i, seat], rs)
+            actions[i, seat] = uid
+            chosen.append(uid)
+        out = sim.step(jnp.asarray(actions))
+        done = np.asarray(out.done)
+        rew = np.asarray(out.reward)
+        for i, o in enumerate(oracles):
+            ref_rew, ref_done = o.step(chosen[i])
+            assert ref_done == bool(done[i]), f"t={t} env={i}"
+            assert np.all(rew[i] == np.float32(ref_rew)), f"t={t} env={i}"
+        for i, o in enumerate(oracles):
+            if done[i]:
+                o.reset()
+        check_all(out, oracles, t)

@@ -76,3 +76,8 @@ def test_scatter_fallback_path(monkeypatch):
     monkeypatch.setattr(overcooked_base, "_SELECT_MAX_CELLS", 0)
     run_differential("v2", "simple", horizon=23, steps=50, seed=9)
     run_differential("v1", "cramped_room", horizon=23, steps=50, seed=9)
+
+
+def test_overcooked_v1_four_players():
+    run_differential("v1", "many_player_layout", horizon=25, steps=35, seed=13,
+                     num_players=4)
