@@ -107,7 +107,7 @@ def main():
                    help="layout (overcooked*) or config name (hanabi)")
     p.add_argument("--num-players", type=int, default=None)
     p.add_argument("--num-envs", type=int, default=8192)
-    p.add_argument("--num-steps", type=int, default=2000)
+    p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
