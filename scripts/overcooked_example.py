@@ -11,6 +11,9 @@ def overcooked_main(variant: str):
     p.add_argument("--layout", default="cramped_room" if variant == "v1" else "simple")
     p.add_argument("--horizon", type=int, default=400)
     p.add_argument("--num-players", type=int, default=None)
+    p.add_argument("--native-validation", action="store_true",
+                   help="validate against the C++ batched oracle (scales to "
+                        "thousands of envs)")
     args = p.parse_args()
 
     from madrona_rl_envs_playground_tpu.envs import overcooked, overcooked2
@@ -36,6 +39,35 @@ def overcooked_main(variant: str):
         return
 
     validate = None
+    if args.validation and args.native_validation:
+        # C++ batched oracle: whole-batch integer comparison per step, fast
+        # enough to validate thousands of envs (oracles/native.py).
+        from madrona_rl_envs_playground_tpu.oracles.native import (
+            NativeOvercookedOracle,
+        )
+
+        params = get_base_layout_params(
+            args.layout, args.horizon, max_num_players=args.num_players, variant=variant
+        )
+        nat = NativeOvercookedOracle(variant, params, batch=args.num_envs)
+        nat.reset()
+
+        def validate(t, actions, out):
+            ref_obs, ref_rew, ref_done = nat.step(actions)
+            obs = np.asarray(out.obs)
+            rew = np.asarray(out.reward)
+            done = np.asarray(out.done)
+            bad = np.nonzero(
+                (ref_done != done)
+                | np.any(ref_rew[:, None] != rew, axis=1)
+                | np.any(ref_obs != obs, axis=(1, 2))
+            )[0]
+            return bad.tolist()
+
+        run_timed_loop(env, args.num_envs, args.num_steps, args.seed, validate,
+                       args.asserts)
+        return
+
     if args.validation:
         params = get_base_layout_params(
             args.layout, args.horizon, max_num_players=args.num_players, variant=variant
