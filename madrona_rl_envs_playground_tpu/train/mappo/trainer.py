@@ -30,6 +30,7 @@ from .policy import MAPPOPolicy, PolicyState
 from .valuenorm import (
     ValueNormState,
     init_valuenorm,
+    popart_update,
     vn_denormalize,
     vn_normalize,
     vn_update,
@@ -66,13 +67,15 @@ class RMAPPOTrainer:
             return vn_denormalize(vn, v)
         return v
 
-    def _value_loss(self, vn, values, value_preds_b, return_b, active_b):
+    def _value_loss(self, vn, values, value_preds_b, return_b, active_b,
+                    stats_updated: bool = False):
         cfg = self.cfg
         clipped = value_preds_b + jnp.clip(
             values - value_preds_b, -cfg.clip_param, cfg.clip_param
         )
         if cfg.use_popart or cfg.use_valuenorm:
-            vn = vn_update(vn, return_b)
+            if not stats_updated:
+                vn = vn_update(vn, return_b)
             target = vn_normalize(vn, return_b)
         else:
             target = return_b
@@ -93,6 +96,22 @@ class RMAPPOTrainer:
         pol = self.policy
         (sobs, obs, rnn, rnnc, act, vp, ret, msk, amsk, old_logp, adv, avail) = sample
         actor_lr, critic_lr = lrs
+
+        stats_updated = False
+        if cfg.use_popart:
+            # PopArt (reference utils/popart.py::update, invoked from
+            # cal_value_loss): refresh the running stats on this minibatch's
+            # returns and rescale the critic head so its outputs are
+            # preserved under the new normalization.
+            vo = pstate.critic_params["params"]["v_out"]
+            k2, b2, vn = popart_update(vo["kernel"][:, 0], vo["bias"][0], vn, ret)
+            new_cp = jax.tree_util.tree_map(lambda x: x, pstate.critic_params)
+            new_cp["params"]["v_out"] = {
+                "kernel": k2[:, None],
+                "bias": b2[None],
+            }
+            pstate = pstate.replace(critic_params=new_cp)
+            stats_updated = True
 
         def actor_loss_fn(actor_params):
             _, logp, entropy = pol.evaluate_actions(
@@ -121,7 +140,8 @@ class RMAPPOTrainer:
                 pstate.actor_params, critic_params, sobs, obs, rnn, rnnc, act,
                 msk, avail, amsk, sequence=sequence,
             )
-            vl, vn2 = self._value_loss(vn, values, vp, ret, amsk)
+            vl, vn2 = self._value_loss(vn, values, vp, ret, amsk,
+                                       stats_updated=stats_updated)
             return vl * cfg.value_loss_coef, (vl, vn2)
 
         (c_loss, (v_loss, vn)), c_grads = jax.value_and_grad(

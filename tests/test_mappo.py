@@ -119,3 +119,13 @@ def test_mappo_recurrent_smoke():
     runner = MAPPORunner(cfg, balance_beam.Env())
     info = runner.run(episodes=1)
     assert np.isfinite(float(info["value_loss"]))
+
+
+def test_mappo_popart_smoke():
+    cfg = MAPPOConfig(
+        episode_length=6, n_rollout_threads=8, hidden_size=32, layer_N=1,
+        ppo_epoch=2, use_popart=True, use_valuenorm=False,
+    )
+    runner = MAPPORunner(cfg, balance_beam.Env())
+    info = runner.run(episodes=2)
+    assert np.isfinite(float(info["value_loss"]))
