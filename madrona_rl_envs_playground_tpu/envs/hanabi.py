@@ -83,9 +83,12 @@ class State:
     hand_size: Array       # [P] int32
     known_color: Array     # [P, H] int32 (-1 unknown)
     known_rank: Array      # [P, H] int32
-    # stale per-seat encodings (exported verbatim)
+    # stale per-seat encodings (exported verbatim); the STATE tensor is the
+    # OBS bits plus the own-hand block, so only the own-hand part is stored
+    # separately — halves the buffer bytes carried through every fusion
+    # boundary, the bandwidth hot spot of the hanabi step
     obs_buf: Array         # [P, OBS] int8
-    state_buf: Array       # [P, STATE] int8
+    own_buf: Array         # [P, H*BPC] int8
     mask_buf: Array        # [P, M] bool
     rng_v: Array
 
@@ -251,7 +254,7 @@ class Env(EnvBase):
         size = jnp.int32(M - D)
 
         obs = jnp.zeros((P, self.obs_size), jnp.int8)
-        st = jnp.zeros((P, self.state_size), jnp.int8)
+        own = jnp.zeros((P, H * self.bits_per_card), jnp.int8)
         mask = jnp.zeros((P, self.num_actions), jnp.bool_)
         return State(
             deck=deck,
@@ -278,7 +281,7 @@ class Env(EnvBase):
             known_color=jnp.full((P, H), -1, jnp.int32),
             known_rank=jnp.full((P, H), -1, jnp.int32),
             obs_buf=obs,
-            state_buf=st,
+            own_buf=own,
             mask_buf=mask,
             rng_v=v,
         )
@@ -553,8 +556,7 @@ class Env(EnvBase):
         own_live = slot < _get1(s.hand_size, a)
         own_cards = _take_rows(s.hand_cards, a[None])[0]
         own = jax.nn.one_hot(own_cards, BPC, dtype=jnp.int8) * own_live[:, None].astype(jnp.int8)
-        state_vec = jnp.concatenate([obs, own.reshape(-1)])
-        return obs, state_vec
+        return obs, own.reshape(-1)
 
     def _mask_seat(self, s: State, a: Array):
         C, R, P, H = self.colors, self.ranks, self.players, self.hand
@@ -579,12 +581,13 @@ class Env(EnvBase):
     def encode(self, s: State, just_reset: Array):
         P = self.players
         seats = jnp.arange(P)
-        obs_new, state_new = jax.vmap(lambda a: self._encode_seat(s, a))(seats)
+        obs_new, own_new = jax.vmap(lambda a: self._encode_seat(s, a))(seats)
         mask_new = jax.vmap(lambda a: self._mask_seat(s, a))(seats)
         refresh = just_reset | (seats == s.cur_player)
         obs_buf = jnp.where(refresh[:, None], obs_new, s.obs_buf)
-        state_buf = jnp.where(refresh[:, None], state_new, s.state_buf)
+        own_buf = jnp.where(refresh[:, None], own_new, s.own_buf)
         mask_buf = jnp.where(refresh[:, None], mask_new, s.mask_buf)
-        s = s.replace(obs_buf=obs_buf, state_buf=state_buf, mask_buf=mask_buf)
+        s = s.replace(obs_buf=obs_buf, own_buf=own_buf, mask_buf=mask_buf)
+        state_buf = jnp.concatenate([obs_buf, own_buf], axis=-1)
         active = seats == s.cur_player
         return s, obs_buf, state_buf, mask_buf, active
