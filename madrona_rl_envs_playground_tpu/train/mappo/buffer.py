@@ -44,13 +44,17 @@ class MAPPOBuffer:
 
 def init_buffer(episode_length: int, n_rollout_threads: int, num_agents: int,
                 obs_size: int, share_obs_size: int, num_actions: int,
-                recurrent_N: int, hidden_size: int) -> MAPPOBuffer:
+                recurrent_N: int, hidden_size: int,
+                obs_dtype=jnp.float32) -> MAPPOBuffer:
+    """obs/share_obs may be stored in the env's native dtype (int8 for the
+    grid/bit-vector envs) — the network bases cast to f32 at their input, and
+    the 4x smaller buffer is what makes 8k-env episode buffers fit in HBM."""
     T, N, A = episode_length, n_rollout_threads, num_agents
     L, H = recurrent_N, hidden_size
     z = jnp.zeros
     return MAPPOBuffer(
-        share_obs=z((T + 1, N, A, share_obs_size), jnp.float32),
-        obs=z((T + 1, N, A, obs_size), jnp.float32),
+        share_obs=z((T + 1, N, A, share_obs_size), obs_dtype),
+        obs=z((T + 1, N, A, obs_size), obs_dtype),
         rnn_states=z((T + 1, N, A, L, H), jnp.float32),
         rnn_states_critic=z((T + 1, N, A, L, H), jnp.float32),
         value_preds=z((T + 1, N, A), jnp.float32),

@@ -55,7 +55,8 @@ class MAPPORunner:
         self._key = jax.random.PRNGKey(cfg.seed)
         self.bstate, self.out = batched_reset(env, self.N)
         mc = cfg.model_config()
-        L, H = mc.recurrent_N, mc.hidden_size
+        L = mc.recurrent_N
+        H = mc.hidden_size if mc.use_recurrent_policy else 1
         self._rnn = jnp.zeros((self.N * self.A, L, H))
         self._rnnc = jnp.zeros((self.N * self.A, L, H))
         self._masks = jnp.ones((self.N * self.A,))
@@ -73,8 +74,8 @@ class MAPPORunner:
         def step_fn(carry, _):
             bstate, out, rnn, rnnc, masks, key = carry
             key, ak = jax.random.split(key)
-            obs = out.obs.reshape(B, -1).astype(jnp.float32)
-            sobs = out.state_obs.reshape(B, -1).astype(jnp.float32)
+            obs = out.obs.reshape(B, -1)   # native dtype; bases cast to f32
+            sobs = out.state_obs.reshape(B, -1)
             avail = out.action_mask.reshape(B, -1)
             active = out.active.reshape(B)
 
@@ -107,7 +108,7 @@ class MAPPORunner:
 
     def _compute_impl(self, tstate, buf, out, rnnc, masks):
         B = self.N * self.A
-        sobs = out.state_obs.reshape(B, -1).astype(jnp.float32)
+        sobs = out.state_obs.reshape(B, -1)
         next_value = self.policy.get_values(tstate.policy, sobs, rnnc, masks)
         vn = tstate.vn if (self.cfg.use_popart or self.cfg.use_valuenorm) else None
         return compute_returns(
@@ -120,9 +121,14 @@ class MAPPORunner:
         cfg, N, A = self.cfg, self.N, self.A
         T = cfg.episode_length
         mc = cfg.model_config()
+        # non-recurrent runs don't need the [T+1, N, A, L, H] hidden-state
+        # buffers; shrink them to width 1 (they stay in the pytree for shape
+        # compatibility)
+        rnn_h = mc.hidden_size if mc.use_recurrent_policy else 1
         buf = init_buffer(
             T, N, A, self.env.obs_size, self.env.state_size,
-            self.env.num_actions, mc.recurrent_N, mc.hidden_size,
+            self.env.num_actions, mc.recurrent_N, rnn_h,
+            obs_dtype=self.env.obs_dtype,
         )
         r = lambda x: x.reshape((T, N, A) + x.shape[2:])
         return buf.replace(
