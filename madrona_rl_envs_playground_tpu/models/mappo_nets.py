@@ -179,6 +179,31 @@ def _make_base(cfg: ModelConfig, obs_shape: Sequence[int]):
     return CNNBase(cfg) if len(obs_shape) == 3 else MLPBase(cfg)
 
 
+def get_critic_head(critic_params) -> dict:
+    """Return the critic value-head params ({'kernel': [H,1], 'bias': [1]}).
+
+    Loud structured accessor for PopArt head surgery — fails with a clear
+    message if a critic refactor moves/renames the head, instead of silently
+    training with stale normalization."""
+    try:
+        head = critic_params["params"][R_Critic.HEAD_NAME]
+        kernel, bias = head["kernel"], head["bias"]
+    except (KeyError, TypeError) as e:
+        raise KeyError(
+            f"critic params have no '{R_Critic.HEAD_NAME}' head "
+            f"(top-level keys: {list(critic_params.get('params', {}))}). "
+            "PopArt rescales this layer in place; update R_Critic.HEAD_NAME "
+            "if the head was renamed."
+        ) from e
+    if kernel.ndim != 2 or kernel.shape[-1] != 1 or bias.shape != (1,):
+        raise ValueError(
+            f"critic head '{R_Critic.HEAD_NAME}' has unexpected shapes "
+            f"kernel={kernel.shape} bias={bias.shape}; PopArt expects a "
+            "Dense(1) head."
+        )
+    return head
+
+
 class R_Actor(nn.Module):
     cfg: ModelConfig
     obs_shape: Tuple[int, ...]
@@ -212,6 +237,12 @@ class R_Critic(nn.Module):
     cfg: ModelConfig
     obs_shape: Tuple[int, ...]
 
+    # Param-tree name of the value head.  PopArt head surgery
+    # (train/mappo/trainer.py) rescales this layer's kernel/bias in place,
+    # so the name is pinned here (passed to nn.Dense explicitly) rather
+    # than relying on the setup attribute name.
+    HEAD_NAME = "v_out"
+
     def setup(self):
         self.base = _make_base(self.cfg, self.obs_shape)
         if self.cfg.use_recurrent_policy:
@@ -219,7 +250,8 @@ class R_Critic(nn.Module):
         # v_out init: orthogonal default gain 1.0 (reference uses plain init_
         # without gain for the critic head, r_actor_critic.py:143-147).
         self.v_out = nn.Dense(
-            1, kernel_init=_kernel_init(self.cfg, scale=1.0), bias_init=constant(0.0)
+            1, kernel_init=_kernel_init(self.cfg, scale=1.0),
+            bias_init=constant(0.0), name=self.HEAD_NAME,
         )
 
     def __call__(self, cent_obs, rnn_states, masks):

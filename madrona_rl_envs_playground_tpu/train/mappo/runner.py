@@ -117,7 +117,7 @@ class MAPPORunner:
             self.cfg.use_proper_time_limits,
         )
 
-    def _tr_to_buffer(self, tr) -> MAPPOBuffer:
+    def _tr_to_buffer(self, tr, final_masks, final_active) -> MAPPOBuffer:
         cfg, N, A = self.cfg, self.N, self.A
         T = cfg.episode_length
         mc = cfg.model_config()
@@ -140,8 +140,16 @@ class MAPPORunner:
             action_log_probs=r(tr["logp"]),
             value_preds=buf.value_preds.at[:-1].set(r(tr["values"])),
             rewards=r(tr["rewards"]),
-            masks=buf.masks.at[:-1].set(r(tr["masks"])),
-            active_masks=buf.active_masks.at[:-1].set(r(tr["active"])),
+            # Slot T gets the post-collect carry mask: the reference
+            # SharedReplayBuffer.insert writes masks[step+1] every step, so
+            # masks[T] = done-after-the-final-step there.  compute_returns
+            # reads buf.masks[1:]; without this the terminal transition of a
+            # horizon-aligned episode would wrongly bootstrap gamma*V(reset
+            # obs) of the NEXT episode.
+            masks=buf.masks.at[:-1].set(r(tr["masks"]))
+                          .at[-1].set(final_masks.reshape(self.N, A)),
+            active_masks=buf.active_masks.at[:-1].set(r(tr["active"]))
+                          .at[-1].set(final_active.reshape(self.N, A)),
             available_actions=buf.available_actions.at[:-1].set(r(tr["avail"])),
         )
 
@@ -162,7 +170,10 @@ class MAPPORunner:
                     self._rnn, self._rnnc, self._masks, ck,
                 )
             )
-            buf = self._tr_to_buffer(tr)
+            buf = self._tr_to_buffer(
+                tr, self._masks,
+                self.out.active.astype(jnp.float32),
+            )
             buf = self._compute(self.trainer.state, buf, self.out, self._rnnc, self._masks)
             self.trainer.state, info = self.trainer.train(
                 self.trainer.state, buf, tk,
@@ -214,38 +225,45 @@ class MAPPORunner:
 
     # ---- deterministic eval (train/tester.py analog) ------------------
     def evaluate(self, episodes: int = 1, deterministic: bool = True) -> float:
+        """Fused eval: the whole ``episodes * episode_length`` rollout is one
+        jitted ``lax.scan`` (the reference's tester.py steps host-side; a
+        host-driven loop through the TPU tunnel is the known ~100x-slow
+        path, so eval is scanned exactly like collect)."""
         cfg = self.cfg
         N, A = self.N, self.A
         B = N * A
-        pstate = self.trainer.state.policy
         mc = cfg.model_config()
-        rnn = jnp.zeros((B, mc.recurrent_N, mc.hidden_size))
-        masks = jnp.ones((B,))
-        bstate, out = batched_reset(self.env, N, start_episode=10_000_000)
-        total = 0.0
+        T = episodes * cfg.episode_length
+        bstate0, out0 = batched_reset(self.env, N, start_episode=10_000_000)
+        rnn0 = jnp.zeros((B, mc.recurrent_N, mc.hidden_size))
+        masks0 = jnp.ones((B,))
         key = jax.random.PRNGKey(cfg.seed + 777)
 
-        @jax.jit
-        def eval_step(pstate, bstate, out, rnn, masks, key):
-            key, ak = jax.random.split(key)
-            obs = out.obs.reshape(B, -1).astype(jnp.float32)
-            avail = out.action_mask.reshape(B, -1)
-            logits, rnn2 = self.policy.actor.apply(
-                pstate.actor_params, obs, rnn, masks, avail
-            )
-            if deterministic:
-                actions = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            else:
-                actions = dist_sample(ak, logits)
-            bstate, out2 = batched_step(self.env, bstate, actions.reshape(N, A))
-            done_b = jnp.repeat(out2.done[:, None], A, 1).reshape(B).astype(jnp.float32)
-            return bstate, out2, rnn2 * (1 - done_b)[:, None, None], 1 - done_b, key, (
-                out2.reward[:, 0].sum()
-            )
+        def eval_rollout(pstate, bstate, out, rnn, masks, key):
+            def step_fn(carry, _):
+                bstate, out, rnn, masks, key = carry
+                key, ak = jax.random.split(key)
+                obs = out.obs.reshape(B, -1).astype(jnp.float32)
+                avail = out.action_mask.reshape(B, -1)
+                logits, rnn2 = self.policy.actor.apply(
+                    pstate.actor_params, obs, rnn, masks, avail
+                )
+                if deterministic:
+                    actions = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                else:
+                    actions = dist_sample(ak, logits)
+                bstate2, out2 = batched_step(self.env, bstate, actions.reshape(N, A))
+                done_b = jnp.repeat(out2.done[:, None], A, 1).reshape(B).astype(jnp.float32)
+                carry2 = (bstate2, out2, rnn2 * (1 - done_b)[:, None, None],
+                          1 - done_b, key)
+                return carry2, out2.reward[:, 0].sum()
 
-        for _ in range(episodes * cfg.episode_length):
-            bstate, out, rnn, masks, key, rew = eval_step(
-                pstate, bstate, out, rnn, masks, key
+            _, rews = jax.lax.scan(
+                step_fn, (bstate, out, rnn, masks, key), None, length=T
             )
-            total += float(rew)
-        return total / (episodes * N)
+            return rews.sum()
+
+        total = jax.jit(eval_rollout)(
+            self.trainer.state.policy, bstate0, out0, rnn0, masks0, key
+        )
+        return float(total) / (episodes * N)

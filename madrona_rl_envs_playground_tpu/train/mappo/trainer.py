@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ...models.mappo_nets import R_Critic, get_critic_head
 from .buffer import MAPPOBuffer
 from .config import MAPPOConfig
 from .policy import MAPPOPolicy, PolicyState
@@ -103,10 +104,10 @@ class RMAPPOTrainer:
             # cal_value_loss): refresh the running stats on this minibatch's
             # returns and rescale the critic head so its outputs are
             # preserved under the new normalization.
-            vo = pstate.critic_params["params"]["v_out"]
+            vo = get_critic_head(pstate.critic_params)
             k2, b2, vn = popart_update(vo["kernel"][:, 0], vo["bias"][0], vn, ret)
             new_cp = jax.tree_util.tree_map(lambda x: x, pstate.critic_params)
-            new_cp["params"]["v_out"] = {
+            new_cp["params"][R_Critic.HEAD_NAME] = {
                 "kernel": k2[:, None],
                 "bias": b2[None],
             }
@@ -170,9 +171,9 @@ class RMAPPOTrainer:
         act_m = buf.active_masks[:-1]
         n_act = jnp.maximum((act_m > 0).sum(), 1)
         mean_adv = jnp.where(act_m > 0, adv_raw, 0.0).sum() / n_act
-        var_adv = (jnp.where(act_m > 0, (adv_raw - mean_adv) ** 2, 0.0)).sum() / jnp.maximum(
-            n_act - 1, 1
-        )
+        # population variance (ddof=0) to match the reference's np.nanstd
+        # (r_mappo.py advantage normalization)
+        var_adv = (jnp.where(act_m > 0, (adv_raw - mean_adv) ** 2, 0.0)).sum() / n_act
         advantages = (adv_raw - mean_adv) / (jnp.sqrt(var_adv) + 1e-5)
 
         B = T * N * A
@@ -237,9 +238,9 @@ class RMAPPOTrainer:
         act_m = buf.active_masks[:-1]
         n_act = jnp.maximum((act_m > 0).sum(), 1)
         mean_adv = jnp.where(act_m > 0, adv_raw, 0.0).sum() / n_act
-        var_adv = (jnp.where(act_m > 0, (adv_raw - mean_adv) ** 2, 0.0)).sum() / jnp.maximum(
-            n_act - 1, 1
-        )
+        # population variance (ddof=0) to match the reference's np.nanstd
+        # (r_mappo.py advantage normalization)
+        var_adv = (jnp.where(act_m > 0, (adv_raw - mean_adv) ** 2, 0.0)).sum() / n_act
         advantages = (adv_raw - mean_adv) / (jnp.sqrt(var_adv) + 1e-5)
 
         def chunk(x):

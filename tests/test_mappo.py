@@ -98,6 +98,59 @@ def test_compute_returns_matches_oracle():
     np.testing.assert_allclose(np.asarray(out2.returns[:-1]), oracle2, rtol=1e-4, atol=1e-3)
 
 
+def test_terminal_mask_written_to_final_slot():
+    """Regression: with horizon == episode_length (the mappo_train default for
+    overcooked), done fires at the final collected step of every rollout.  The
+    post-collect carry mask must land in buf.masks[T]; the reference
+    SharedReplayBuffer.insert writes masks[step+1] for all steps, so masks[T]
+    is 0 there.  Otherwise every terminal transition bootstraps the value of
+    the NEXT episode's reset obs."""
+    env = balance_beam.Env()  # 3-timestep horizon
+    cfg = MAPPOConfig(
+        episode_length=3, n_rollout_threads=4, hidden_size=16, layer_N=1,
+        ppo_epoch=1, num_mini_batch=1,
+    )
+    runner = MAPPORunner(cfg, env)
+    (bstate, out, rnn, rnnc, masks, _, tr) = runner._collect(
+        runner.trainer.state.policy, runner.bstate, runner.out,
+        runner._rnn, runner._rnnc, runner._masks, jax.random.PRNGKey(0),
+    )
+    m = np.asarray(masks)  # post-collect carry = 1 - done(final step)
+    assert m.min() == 0.0, "at least one env must terminate at the final step"
+    buf = runner._tr_to_buffer(tr, masks, out.active.astype(jnp.float32))
+    N, A = cfg.n_rollout_threads, env.num_agents
+    np.testing.assert_array_equal(np.asarray(buf.masks[-1]), m.reshape(N, A))
+    # and GAE must NOT bootstrap past a terminal final step
+    nv = jnp.ones((N, A)) * 123.0
+    out_buf = compute_returns(buf, nv, None, 0.99, 0.95)
+    final_ret = np.asarray(out_buf.returns[cfg.episode_length - 1])
+    final_rew = np.asarray(buf.rewards[-1])
+    ended = m.reshape(N, A) == 0.0
+    np.testing.assert_allclose(final_ret[ended], final_rew[ended], rtol=1e-5, atol=1e-5)
+    assert np.all(final_ret[~ended] != final_rew[~ended]) or ended.all()
+
+
+def test_critic_head_accessor():
+    from madrona_rl_envs_playground_tpu.models.mappo_nets import (
+        R_Critic, get_critic_head,
+    )
+    import pytest
+
+    cfg = MAPPOConfig(hidden_size=16, layer_N=1)
+    runner = MAPPORunner(
+        MAPPOConfig(episode_length=3, n_rollout_threads=2, hidden_size=16),
+        balance_beam.Env(),
+    )
+    cp = runner.trainer.state.policy.critic_params
+    head = get_critic_head(cp)
+    assert head["kernel"].shape[-1] == 1 and head["bias"].shape == (1,)
+    # a renamed/moved head must fail loudly, not silently skip PopArt surgery
+    tampered = {"params": {k: v for k, v in cp["params"].items()
+                           if k != R_Critic.HEAD_NAME}}
+    with pytest.raises(KeyError):
+        get_critic_head(tampered)
+
+
 def test_mappo_runner_smoke():
     cfg = MAPPOConfig(
         episode_length=6, n_rollout_threads=8, hidden_size=32, layer_N=1,
