@@ -14,7 +14,9 @@ from madrona_rl_envs_playground_tpu.oracles.overcooked import OvercookedOracle
 N = 16
 
 
-def run_differential(variant, layout, horizon, steps, seed, num_players=None):
+def run_differential(variant, layout, horizon, steps, seed, num_players=None,
+                     oracle_cls=OvercookedOracle, n_envs=N):
+    N_ = n_envs
     if variant == "v1":
         env = overcooked.make(layout, horizon=horizon, num_players=num_players)
     else:
@@ -22,26 +24,26 @@ def run_differential(variant, layout, horizon, steps, seed, num_players=None):
     params = get_base_layout_params(
         layout, horizon, max_num_players=num_players, variant=variant
     )
-    sim = Simulator(env, N)
-    oracles = [OvercookedOracle(variant, params) for _ in range(N)]
+    sim = Simulator(env, N_)
+    oracles = [oracle_cls(variant, params) for _ in range(N_)]
 
     P = env.num_players
     W, H, C = env.width, env.height, env.num_channels
 
     # initial obs must match the oracle's fresh encoding
-    obs0 = np.asarray(sim.last_out.obs).reshape(N, P, W, H, C)
-    for i in range(N):
+    obs0 = np.asarray(sim.last_out.obs).reshape(N_, P, W, H, C)
+    for i in range(N_):
         ref = oracles[i].reset()
         np.testing.assert_array_equal(obs0[i], ref, err_msg=f"init obs env {i}")
 
     rs = np.random.RandomState(seed)
     for t in range(steps):
-        actions = rs.randint(0, 6, size=(N, P)).astype(np.int32)
+        actions = rs.randint(0, 6, size=(N_, P)).astype(np.int32)
         out = sim.step(jnp.asarray(actions))
-        obs = np.asarray(out.obs).reshape(N, P, W, H, C)
+        obs = np.asarray(out.obs).reshape(N_, P, W, H, C)
         rew = np.asarray(out.reward)
         done = np.asarray(out.done)
-        for i in range(N):
+        for i in range(N_):
             ref_obs, ref_rew, ref_done = oracles[i].step(actions[i])
             assert ref_done == bool(done[i]), f"t={t} env={i} done"
             assert np.all(rew[i] == ref_rew), f"t={t} env={i} rew {rew[i]} != {ref_rew}"
