@@ -1,0 +1,123 @@
+"""Multi-device correctness on the virtual 8-CPU mesh (SURVEY §7.5).
+
+The driver's ``dryrun_multichip`` only proves the sharded train step
+compiles and runs; these tests prove it computes the SAME thing:
+
+* sharded ``batched_step`` == unsharded (bit-exact, every env family);
+* ``SelfPlayPPO.train_step`` on a mesh == single-device (tolerance —
+  reduction orders differ across shards);
+* the MAPPO collect+train episode on sharded batch state == single-device.
+
+Run via the standard CPU invocation (conftest forces
+``xla_force_host_platform_device_count=8``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madrona_rl_envs_playground_tpu.core.batch import batched_reset, batched_step
+from madrona_rl_envs_playground_tpu.envs import balance_beam, cartpole, hanabi, overcooked2
+from madrona_rl_envs_playground_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch_pytree,
+)
+
+need8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs >= 8 devices (virtual CPU mesh)"
+)
+
+N = 32
+
+
+def _envs():
+    return {
+        "cartpole": cartpole.Env(),
+        "balance": balance_beam.Env(),
+        "overcooked2": overcooked2.make("simple", horizon=20),
+        "hanabi": hanabi.Env(**hanabi.CONFIGS["very_small"]),
+    }
+
+
+@need8
+@pytest.mark.parametrize("name", ["cartpole", "balance", "overcooked2", "hanabi"])
+def test_sharded_step_bitexact(name):
+    """env-axis-sharded step must equal the single-device step bit for bit
+    (pure integer/float ops on disjoint env rows; no cross-env reduction
+    except the episode counter cumsum, which XLA computes identically)."""
+    env = _envs()[name]
+    mesh = make_mesh(8)
+    step = jax.jit(batched_step, static_argnums=(0,))
+
+    bstate_s, out_s = batched_reset(env, N)
+    bstate_r = jax.tree_util.tree_map(lambda x: jnp.array(x), bstate_s)
+    bstate_s = shard_batch_pytree(bstate_s, mesh)
+
+    rs = np.random.RandomState(5)
+    for t in range(12):
+        actions = jnp.asarray(
+            rs.randint(0, env.num_actions, size=(N, env.num_agents)), jnp.int32
+        )
+        bstate_r, out_r = step(env, bstate_r, actions)
+        bstate_s, out_s = step(env, bstate_s, shard_batch_pytree(actions, mesh))
+        for field in ("obs", "state_obs", "action_mask", "active", "reward", "done"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out_r, field)),
+                np.asarray(getattr(out_s, field)),
+                err_msg=f"{name} t={t} {field}",
+            )
+        assert int(bstate_r.episode_counter) == int(bstate_s.episode_counter)
+
+
+@need8
+def test_selfplay_train_step_sharded_equals_single():
+    from madrona_rl_envs_playground_tpu.train import SelfPlayConfig, SelfPlayPPO
+
+    env = balance_beam.Env()
+    cfg = SelfPlayConfig(num_steps=8, hidden=32, num_layers=1, lr=1e-3)
+    mesh = make_mesh(8)
+    a = SelfPlayPPO(env, num_envs=N, cfg=cfg, seed=3)
+    b = SelfPlayPPO(env, num_envs=N, cfg=cfg, seed=3, mesh=mesh)
+
+    for _ in range(2):
+        a.state, ma = a.train_step(a.state)
+        b.state, mb = b.train_step(b.state)
+
+    for k in ma:
+        np.testing.assert_allclose(
+            float(ma[k]), float(mb[k]), rtol=2e-3, atol=2e-3, err_msg=k
+        )
+    pa, pb = jax.device_get(a.state["params"]), jax.device_get(b.state["params"])
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-4), pa, pb
+    )
+
+
+@need8
+def test_mappo_episode_sharded_equals_single():
+    from madrona_rl_envs_playground_tpu.train.mappo import MAPPOConfig, MAPPORunner
+
+    env = balance_beam.Env()
+    cfg = MAPPOConfig(
+        episode_length=6, n_rollout_threads=N, hidden_size=32, layer_N=1,
+        ppo_epoch=2, num_mini_batch=2, lr=1e-3, critic_lr=1e-3, seed=11,
+    )
+    mesh = make_mesh(8)
+
+    def one_episode(runner, shard):
+        if shard:
+            runner.bstate = shard_batch_pytree(runner.bstate, mesh)
+            runner.out = shard_batch_pytree(runner.out, mesh)
+        info = runner.run(episodes=1)
+        return info, jax.device_get(runner.trainer.state.policy.actor_params)
+
+    ia, pa = one_episode(MAPPORunner(cfg, env), shard=False)
+    ib, pb = one_episode(MAPPORunner(cfg, env), shard=True)
+    for k in ia:
+        np.testing.assert_allclose(
+            float(ia[k]), float(ib[k]), rtol=2e-3, atol=2e-3, err_msg=k
+        )
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-4), pa, pb
+    )
