@@ -70,6 +70,20 @@ def test_overcooked_v1_many_players():
     run_differential("v1", "many_player_layout", horizon=30, steps=40, seed=5, num_players=8)
 
 
+def test_overcooked_v1_p16():
+    """Many-player envelope: P=16 on the 15x17 grid — the natural-size
+    gather/scatter branch (reference benches many_player_layout to 30
+    players, src/overcooked_env/README.org:115-121)."""
+    run_differential("v1", "many_player_layout", horizon=25, steps=30, seed=13,
+                     num_players=16, n_envs=4)
+
+
+def test_overcooked_v1_p30():
+    """P=30, matching the reference's largest published many-player bench."""
+    run_differential("v1", "many_player_layout", horizon=20, steps=24, seed=17,
+                     num_players=30, n_envs=2)
+
+
 def test_scatter_fallback_path(monkeypatch):
     """Grids above _SELECT_MAX_CELLS take the gather/scatter branch; force it
     on a small layout and diff against the oracle."""

@@ -47,6 +47,7 @@ def test_sim_vs_reference_mdp_v1_multiplayer():
         ("v1", "cramped_room", None),
         ("v1", "asymmetric_advantages_tomato", None),
         ("v1", "many_player_layout", 4),
+        ("v1", "many_player_layout", 16),
         ("v2", "simple", None),
         ("v2", "random1", None),
         ("v2", "scenario1_s", None),
