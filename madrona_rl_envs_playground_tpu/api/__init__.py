@@ -2,11 +2,14 @@
 
 from .agents import RandomVectorAgent, VectorAgent
 from .asyncvectorenv import AsyncVectorEnv
+from .gym_interop import BalanceVecGym, CartpoleVecGym
 from .spaces import Box, Discrete, MultiBinary, MultiDiscrete
 from .vectorenv import PlayerException, SyncVectorEnv, TpuVecEnv, VectorMultiAgentEnv
 from .vectorobservation import VectorObservation
 
 __all__ = [
+    "BalanceVecGym",
+    "CartpoleVecGym",
     "AsyncVectorEnv",
     "RandomVectorAgent",
     "VectorAgent",
