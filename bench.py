@@ -99,6 +99,35 @@ def rollout_fn(env, num_envs: int, num_steps: int, masked: bool):
     return jax.jit(run)
 
 
+def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
+    """Fused-megakernel T-step rollout (ops/overcooked_pallas): the whole
+    step incl. obs encode is ONE kernel; obs/reward/done are consumed via
+    the same checksum discipline as the jnp path."""
+    from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import fused_step
+
+    P = env.num_agents
+
+    def body(carry, _):
+        ts, key = carry
+        key, sub = jax.random.split(key)
+        actions = jax.random.randint(
+            sub, (P, num_envs), 0, env.num_actions, dtype=jnp.int32
+        )
+        ts, obs, rew, done = fused_step(env, ts, actions, block=block)
+        chk = (
+            rew.astype(jnp.int32).sum()
+            + obs.astype(jnp.int32).sum()
+            + done.astype(jnp.int32).sum()
+        )
+        return (ts, key), chk
+
+    def run(ts, _out, key):
+        (ts, _), chks = lax.scan(body, (ts, key), None, length=num_steps)
+        return ts, None, chks.sum()
+
+    return jax.jit(run)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="overcooked",
@@ -109,17 +138,38 @@ def main():
     p.add_argument("--num-envs", type=int, default=8192)
     p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "jnp", "pallas"],
+                   help="step implementation for overcooked envs; auto = "
+                   "pallas megakernel on TPU, jnp elsewhere")
+    p.add_argument("--block", type=int, default=2048,
+                   help="pallas megakernel env-block (lanes per grid step)")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
     args = p.parse_args()
 
     env = make_env(args.env, args.layout, args.num_players)
     masked = args.env == "hanabi"
-    sim = Simulator(env, args.num_envs)
-    run = rollout_fn(env, args.num_envs, args.num_steps, masked)
+    use_pallas = args.env in ("overcooked", "overcooked2") and (
+        args.backend == "pallas"
+        or (args.backend == "auto" and jax.default_backend() == "tpu")
+    )
 
     key = jax.random.PRNGKey(0)
-    bstate, out = sim.bstate, sim.last_out
+    if use_pallas:
+        from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
+            init_packed,
+        )
+
+        bstate = init_packed(env, args.num_envs)
+        out = None
+        run = pallas_rollout_fn(env, args.num_envs, args.num_steps,
+                                min(args.block, args.num_envs))
+    else:
+        sim = Simulator(env, args.num_envs)
+        bstate, out = sim.bstate, sim.last_out
+        run = rollout_fn(env, args.num_envs, args.num_steps, masked)
+
     bstate, out, s = run(bstate, out, key)  # warmup/compile
     float(s)
 

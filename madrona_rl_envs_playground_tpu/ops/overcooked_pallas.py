@@ -1,0 +1,567 @@
+"""Fused Overcooked step megakernel (Pallas TPU).
+
+The BASELINE-named "Overcooked grid-transition" kernel: ONE Pallas kernel
+computes interact resolution, movement/collision, pot ticking, horizon
+auto-reset AND the lossless observation encoding, with every intermediate in
+VMEM — the TPU analog of the reference's persistent megakernel
+(``MWCudaExecutor``; transition ``src/overcooked_env/sim.cpp:363-438``,
+encoder ``sim.cpp:68-167``).  The jnp path (``envs/overcooked_base.py``)
+builds the same step from ~10 XLA fusions; each fusion boundary costs an HBM
+round-trip of the batch state.  Here the state crosses HBM exactly twice.
+
+**Lane-major layout** (the design that actually beats XLA here — a first
+draft with envs on sublanes lost 5x to lane padding):
+
+* The env batch rides the LANE axis: cell state is ``[S, N]``, player state
+  ``[P, N]``, with N-blocks of ``block`` lanes per grid step.  S=10..100 and
+  C=20..40 never touch the 128-lane tiling, so there is zero padding waste;
+  per-cell/per-player structure unrolls at trace time into full python
+  constants (terrain, recipe tables, channel maps are closed over as ints —
+  Mosaic rejects captured array constants anyway).
+* Observations are emitted as ``[P, C, S, N]`` int8 — each (player, channel)
+  pair is ONE ``[S, block]`` vector expression and ONE full-lane store.  A
+  world-minor export layout is reference-faithful: the Madrona manager also
+  exports obs location-major with worlds on a middle axis
+  (``src/overcooked_env/mgr.cpp:219-223``, shape {P*W*H, numWorlds, C}) and
+  leaves env-major assembly to the consumer.
+* No scatter / minor-axis stack / concat / gather (all rejected by the
+  Mosaic lowering through the tunnel): every dynamic cell access is an
+  unrolled compare-select over the static cell count.
+
+``to_env_major(obs)`` converts to the jnp path's ``[N, P, S*C]`` layout;
+``tests/test_overcooked_pallas.py`` proves bit-exactness against
+``batched_step`` (interpret mode on CPU, compiled on real TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..envs.overcooked_base import (
+    A_INTERACT,
+    A_STAY,
+    MAX_INGREDIENTS,
+    O_DISH,
+    O_NONE,
+    O_ONION,
+    O_SOUP,
+    O_TOMATO,
+    T_AIR,
+    T_COUNTER,
+    T_ONION_SRC,
+    T_POT,
+    OvercookedEnv,
+    State,
+)
+
+Array = jnp.ndarray
+
+
+@chex.dataclass(frozen=True)
+class TState:
+    """Lane-major (env-on-lanes) state carried by the fused path."""
+
+    obj_name: Array       # [S, N] int32
+    obj_onions: Array     # [S, N]
+    obj_tomatoes: Array   # [S, N]
+    obj_tick: Array       # [S, N]
+    pos: Array            # [P, N] int32 flat y-major coords (same as jnp path)
+    orient: Array         # [P, N]
+    held_name: Array      # [P, N]
+    held_onions: Array    # [P, N]
+    held_tomatoes: Array  # [P, N]
+    held_tick: Array      # [P, N]
+    timestep: Array       # [1, N] int32
+
+
+def pack_state(env: OvercookedEnv, vstate: State) -> TState:
+    """vmap-ed State [N, ...] -> lane-major TState (transpose)."""
+    t = lambda a: jnp.transpose(a)
+    return TState(
+        obj_name=t(vstate.obj_name), obj_onions=t(vstate.obj_onions),
+        obj_tomatoes=t(vstate.obj_tomatoes), obj_tick=t(vstate.obj_tick),
+        pos=t(vstate.pos), orient=t(vstate.orient),
+        held_name=t(vstate.held_name), held_onions=t(vstate.held_onions),
+        held_tomatoes=t(vstate.held_tomatoes), held_tick=t(vstate.held_tick),
+        timestep=vstate.timestep[None, :],
+    )
+
+
+def unpack_state(env: OvercookedEnv, ts: TState) -> State:
+    t = lambda a: jnp.transpose(a)
+    return State(
+        obj_name=t(ts.obj_name), obj_onions=t(ts.obj_onions),
+        obj_tomatoes=t(ts.obj_tomatoes), obj_tick=t(ts.obj_tick),
+        pos=t(ts.pos), orient=t(ts.orient),
+        held_name=t(ts.held_name), held_onions=t(ts.held_onions),
+        held_tomatoes=t(ts.held_tomatoes), held_tick=t(ts.held_tick),
+        timestep=ts.timestep[0],
+    )
+
+
+def init_packed(env: OvercookedEnv, num_envs: int) -> TState:
+    S, P = env.size, env.num_players
+    z = lambda rows, fill=0: jnp.full((rows, num_envs), fill, jnp.int32)
+    starts = jnp.asarray(env.start_pos, jnp.int32)
+    return TState(
+        obj_name=z(S), obj_onions=z(S), obj_tomatoes=z(S), obj_tick=z(S, -1),
+        pos=jnp.broadcast_to(starts[:, None], (P, num_envs)),
+        orient=z(P), held_name=z(P), held_onions=z(P),
+        held_tomatoes=z(P), held_tick=z(P, -1),
+        timestep=z(1),
+    )
+
+
+def to_env_major(env: OvercookedEnv, obs_t: Array) -> Array:
+    """[P, C, S, N] int8 -> the jnp path's [N, P, W*H*C] int8 (x-major
+    cells, channel-minor) for API/test parity."""
+    P, C = env.num_players, env.num_channels
+    H, W = env.height, env.width
+    N = obs_t.shape[-1]
+    # cells in the kernel are y-major (s = y*W + x); env-major obs wants
+    # x-major cell order with channels minor
+    o = jnp.transpose(obs_t, (3, 0, 2, 1))          # [N, P, S, C]
+    o = o.reshape(N, P, H, W, C).transpose(0, 1, 3, 2, 4)
+    return o.reshape(N, P, W * H * C)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _build_kernel(env: OvercookedEnv, block: int):
+    """Rows-form kernel: cell state lives as python lists of [B] lane
+    vectors (Mosaic rejects scatter, so there are no ``.at[]`` updates —
+    row reads/stores use static sublane indices, and [S, B] values are
+    assembled with ``jnp.stack(axis=0)``, which lowers fine)."""
+    B = block
+    S, P = env.size, env.num_players
+    W = env.width
+    C = env.num_channels
+    v1 = env.variant == "v1"
+    terr = tuple(int(t) for t in env.terrain)            # python constants
+    rtimes = tuple(int(v) for v in env.recipe_times)
+    rvals = tuple(int(v) for v in env.recipe_values)
+    t_tomato, t_dish, t_serve = env.t_tomato_src, env.t_dish_src, env.t_serving
+    r_place, r_dish, r_soup = (
+        env.placement_in_pot_rew, env.dish_pickup_rew, env.soup_pickup_rew
+    )
+    horizon = env.horizon
+    ch_matrix = env._ch_matrix
+    starts = tuple(int(p) for p in env.start_pos)
+    pot_cells = tuple(s for s in range(S) if terr[s] == T_POT)
+    counter_cells = tuple(s for s in range(S) if terr[s] == T_COUNTER)
+    # cells a player can stand on (movement targets are AIR-only; starts are
+    # AIR in every layout)
+    air_cells = tuple(s for s in range(S) if terr[s] == T_AIR or s in starts)
+    # cells that can hold an object (interact targets: counter or pot)
+    obj_cells = tuple(s for s in range(S) if terr[s] in (T_COUNTER, T_POT))
+    base_tbl = env._base_obs  # [S, K] numpy ints
+
+    def kernel(on_ref, oo_ref, ot_ref, otk_ref,
+               pos_ref, or_ref, hn_ref, ho_ref, ht_ref, htk_ref, ts_ref,
+               act_ref,
+               on_o, oo_o, ot_o, otk_o, pos_o, or_o, hn_o, ho_o, ht_o,
+               htk_o, ts_o, obs_o, rew_o, done_o):
+        i32 = lambda b: b.astype(jnp.int32)
+        zrow = jnp.zeros((1, B), jnp.int32)
+
+        # cell state as row lists (only object-capable cells are live)
+        on_r = [on_ref[s:s + 1] for s in range(S)]
+        oo_r = [oo_ref[s:s + 1] for s in range(S)]
+        ot_r = [ot_ref[s:s + 1] for s in range(S)]
+        otk_r = [otk_ref[s:s + 1] for s in range(S)]
+        pos = [pos_ref[p:p + 1] for p in range(P)]
+        ornt = [or_ref[p:p + 1] for p in range(P)]
+        hn_rows = [hn_ref[p:p + 1] for p in range(P)]
+        ho_rows = [ho_ref[p:p + 1] for p in range(P)]
+        ht_rows = [ht_ref[p:p + 1] for p in range(P)]
+        htk_rows = [htk_ref[p:p + 1] for p in range(P)]
+        ts = ts_ref[:]
+        act = [act_ref[p:p + 1] for p in range(P)]
+
+        def cget(rows_, idx, cells=obj_cells, default=None):
+            out = zrow if default is None else default
+            for s in cells:
+                out = jnp.where(idx == s, rows_[s], out)
+            return out
+
+        def tget(idx):
+            out = zrow
+            for s in range(S):
+                if terr[s] != 0:
+                    out = jnp.where(idx == s, terr[s], out)
+            return out
+
+        def tbl16(table, rid):
+            out = zrow
+            for k in range(16):
+                if table[k] != 0:
+                    out = jnp.where(rid == k, table[k], out)
+            return out
+
+        def move(p, d):
+            delta = (
+                -W * i32(d == 0) + W * i32(d == 1) + i32(d == 2) - i32(d == 3)
+            )
+            return jnp.remainder(p + delta, S)
+
+        # pot snapshot before interacts (oracle get_pot_states)
+        n_pots = zrow
+        for s in pot_cells:
+            n_pots = n_pots + i32(
+                (on_r[s] != O_NONE)
+                & ((otk_r[s] >= 0) | (oo_r[s] + ot_r[s] < MAX_INGREDIENTS))
+            )
+
+        reward = zrow
+        for p in range(P):
+            a = act[p]
+            do = a == A_INTERACT
+            ipos = move(pos[p], ornt[p])
+            t = tget(ipos)
+            held, held_o = hn_rows[p], ho_rows[p]
+            held_t, held_k = ht_rows[p], htk_rows[p]
+            cn, co = cget(on_r, ipos), cget(oo_r, ipos)
+            ct = cget(ot_r, ipos)
+            ctk = cget(otk_r, ipos, default=jnp.full((1, B), -1, jnp.int32))
+
+            place = do & (t == T_COUNTER) & (held != O_NONE) & (cn == O_NONE)
+            take = do & (t == T_COUNTER) & (held == O_NONE) & (cn != O_NONE)
+            onion_src = do & (t == T_ONION_SRC) & (held == O_NONE)
+            tomato_src = do & (t == t_tomato) & (held == O_NONE)
+            dish_src = do & (t == t_dish) & (held == O_NONE)
+
+            if P == 2:
+                n_held_dishes = sum(i32(h == O_DISH) for h in hn_rows)
+                dish_on_counter = jnp.zeros((1, B), jnp.bool_)
+                for s in counter_cells:
+                    dish_on_counter = dish_on_counter | (on_r[s] == O_DISH)
+                dish_useful = (~dish_on_counter) & (n_held_dishes < n_pots)
+            else:
+                dish_useful = jnp.zeros((1, B), jnp.bool_)
+
+            at_pot = do & (t == T_POT)
+            cell_time = tbl16(rtimes, 4 * co + ct)
+            cell_is_soup = cn == O_SOUP
+            cell_ready = cell_is_soup & (ctk >= 0) & (ctk >= cell_time)
+            cell_cooking = cell_is_soup & (ctk >= 0) & (ctk < cell_time)
+
+            soup_pick = at_pot & (held == O_DISH) & cell_ready
+            ing = at_pot & ((held == O_ONION) | (held == O_TOMATO))
+            eff_on = jnp.where(cn == O_NONE, 0, co)
+            eff_to = jnp.where(cn == O_NONE, 0, ct)
+            eff_tk = jnp.where(cn == O_NONE, -1, ctk)
+            can_add = ~((eff_tk >= 0) | (eff_on + eff_to == MAX_INGREDIENTS))
+            add = ing & can_add
+            new_on_cnt = eff_on + i32(add & (held == O_ONION))
+            new_to_cnt = eff_to + i32(add & (held == O_TOMATO))
+
+            if v1:
+                start_cook = (
+                    at_pot & (held == O_NONE) & cell_is_soup
+                    & ~cell_cooking & ~cell_ready & (co + ct > 0)
+                )
+            else:
+                start_cook = (
+                    ing & (eff_tk == -1)
+                    & (new_on_cnt + new_to_cnt == MAX_INGREDIENTS)
+                )
+
+            serve = do & (t == t_serve) & (held == O_SOUP)
+            deliver_val = tbl16(rvals, 4 * held_o + held_t)
+
+            reward = (
+                reward
+                + i32(add) * r_place
+                + i32(soup_pick) * r_soup
+                + i32(dish_src & dish_useful) * r_dish
+                + i32(serve) * deliver_val
+            )
+
+            drop = place | add | serve
+            fresh = onion_src | tomato_src | dish_src
+            fresh_name = jnp.where(
+                onion_src, O_ONION, jnp.where(tomato_src, O_TOMATO, O_DISH)
+            )
+            pickup = take | soup_pick
+            hn_rows[p] = jnp.where(
+                drop, O_NONE,
+                jnp.where(fresh, fresh_name, jnp.where(pickup, cn, held)))
+            ho_rows[p] = jnp.where(drop | fresh, 0,
+                                   jnp.where(pickup, co, held_o))
+            ht_rows[p] = jnp.where(drop | fresh, 0,
+                                   jnp.where(pickup, ct, held_t))
+            htk_rows[p] = jnp.where(drop | fresh, -1,
+                                    jnp.where(pickup, ctk, held_k))
+
+            clear = pickup
+            new_cn = jnp.where(clear, O_NONE, jnp.where(
+                place, held, jnp.where(add, O_SOUP, cn)))
+            new_co = jnp.where(clear, 0, jnp.where(
+                place, held_o, jnp.where(add, new_on_cnt, co)))
+            new_ct = jnp.where(clear, 0, jnp.where(
+                place, held_t, jnp.where(add, new_to_cnt, ct)))
+            new_ctk = jnp.where(clear, -1, jnp.where(
+                start_cook, 0, jnp.where(place, held_k,
+                                         jnp.where(add, eff_tk, ctk))))
+            for s in obj_cells:
+                m = do & (ipos == s)
+                on_r[s] = jnp.where(m, new_cn, on_r[s])
+                oo_r[s] = jnp.where(m, new_co, oo_r[s])
+                ot_r[s] = jnp.where(m, new_ct, ot_r[s])
+                otk_r[s] = jnp.where(m, new_ctk, otk_r[s])
+
+        # --- movement (all-or-nothing collisions) ---------------------
+        prop_pos, prop_or = [], []
+        for p in range(P):
+            a = act[p]
+            is_interact = a == A_INTERACT
+            is_dir = a < A_STAY
+            tgt = move(pos[p], a)
+            blocked = is_interact | (tget(tgt) != T_AIR)
+            prop_pos.append(jnp.where(blocked, pos[p], tgt))
+            prop_or.append(jnp.where(is_dir, a, ornt[p]))
+        conflict = jnp.zeros((1, B), jnp.bool_)
+        for i in range(P):
+            for j in range(i + 1, P):
+                same = prop_pos[i] == prop_pos[j]
+                swap = (prop_pos[i] == pos[j]) & (pos[i] == prop_pos[j])
+                conflict = conflict | same | swap
+        new_pos = [jnp.where(conflict, pos[p], prop_pos[p]) for p in range(P)]
+
+        # --- environment effects -------------------------------------
+        ts_new = ts + 1
+        for s in pot_cells:
+            ctime = tbl16(rtimes, 4 * oo_r[s] + ot_r[s])
+            cooking = (on_r[s] == O_SOUP) & (otk_r[s] >= 0) & (otk_r[s] < ctime)
+            otk_r[s] = otk_r[s] + i32(cooking)
+        # soups sitting on counters never have tick >= 0 mid-cook... but the
+        # oracle ticks ANY cooking soup; a picked-up cooking soup can only be
+        # placed back on counters with tick frozen (is_cooking checks the
+        # recipe time of the soup wherever it is), so tick counters too:
+        for s in counter_cells:
+            ctime = tbl16(rtimes, 4 * oo_r[s] + ot_r[s])
+            cooking = (on_r[s] == O_SOUP) & (otk_r[s] >= 0) & (otk_r[s] < ctime)
+            otk_r[s] = otk_r[s] + i32(cooking)
+
+        done = ts_new >= horizon
+
+        # --- fused auto-reset ----------------------------------------
+        for s in obj_cells:
+            on_r[s] = jnp.where(done, O_NONE, on_r[s])
+            oo_r[s] = jnp.where(done, 0, oo_r[s])
+            ot_r[s] = jnp.where(done, 0, ot_r[s])
+            otk_r[s] = jnp.where(done, -1, otk_r[s])
+        for p in range(P):
+            new_pos[p] = jnp.where(done, starts[p], new_pos[p])
+            prop_or[p] = jnp.where(done, 0, prop_or[p])
+            hn_rows[p] = jnp.where(done, O_NONE, hn_rows[p])
+            ho_rows[p] = jnp.where(done, 0, ho_rows[p])
+            ht_rows[p] = jnp.where(done, 0, ht_rows[p])
+            htk_rows[p] = jnp.where(done, -1, htk_rows[p])
+        ts_out = jnp.where(done, 0, ts_new)
+
+        # --- encode ---------------------------------------------------
+        # player-position one-hot rows (players only ever stand on air cells)
+        pos_oh = []  # [P][S] rows ([B] int32 or python 0)
+        for p in range(P):
+            rows_ = [0] * S
+            for s in air_cells:
+                rows_[s] = i32(new_pos[p] == s)
+            pos_oh.append(rows_)
+
+        # shared object-channel rows: obj_ch[k][s] = [B] or python int
+        K = C - 5 * P
+        obj_ch = [[0] * S for _ in range(K)]
+
+        if v1:
+            for s in pot_cells:
+                soup_s = on_r[s] == O_SOUP
+                idle = soup_s & (otk_r[s] < 0)
+                live = soup_s & (otk_r[s] >= 0)
+                t_of = tbl16(rtimes, 4 * oo_r[s] + ot_r[s])
+                obj_ch[6][s] = jnp.where(idle, oo_r[s], 0)
+                obj_ch[7][s] = jnp.where(idle, ot_r[s], 0)
+                obj_ch[8][s] = jnp.where(live, oo_r[s], 0)
+                obj_ch[9][s] = jnp.where(live, ot_r[s], 0)
+                obj_ch[10][s] = jnp.where(live, t_of - otk_r[s], 0)
+                obj_ch[11][s] = i32(live & (otk_r[s] >= t_of))
+            for s in counter_cells:
+                off = on_r[s] == O_SOUP
+                obj_ch[8][s] = jnp.where(off, oo_r[s], 0)
+                obj_ch[9][s] = jnp.where(off, ot_r[s], 0)
+                obj_ch[11][s] = i32(off)
+                obj_ch[12][s] = i32(on_r[s] == O_DISH)
+                obj_ch[13][s] = i32(on_r[s] == O_ONION)
+                obj_ch[14][s] = i32(on_r[s] == O_TOMATO)
+            urgent = i32((horizon - ts_out) < 40)
+            for s in range(S):
+                obj_ch[15][s] = urgent
+        else:
+            for s in pot_cells:
+                in_pot = on_r[s] == O_SOUP
+                obj_ch[5][s] = jnp.where(in_pot, oo_r[s], 0)
+                obj_ch[6][s] = jnp.where(in_pot, jnp.maximum(otk_r[s], 0), 0)
+            for s in counter_cells:
+                obj_ch[7][s] = i32(on_r[s] == O_SOUP)
+                obj_ch[8][s] = i32(on_r[s] == O_DISH)
+                obj_ch[9][s] = i32(on_r[s] == O_ONION)
+
+        # held-object contributions at holder cells (air cells only)
+        def held_into(k, conds):
+            for s in air_cells:
+                add = None
+                for p in range(P):
+                    v = pos_oh[p][s] * conds[p]
+                    add = v if add is None else add + v
+                prev = obj_ch[k][s]
+                obj_ch[k][s] = add if isinstance(prev, int) else prev + add
+
+        if v1:
+            held_into(8, [ho_rows[p] * i32(hn_rows[p] == O_SOUP) for p in range(P)])
+            held_into(9, [ht_rows[p] * i32(hn_rows[p] == O_SOUP) for p in range(P)])
+            held_into(11, [i32(hn_rows[p] == O_SOUP) for p in range(P)])
+            held_into(12, [i32(hn_rows[p] == O_DISH) for p in range(P)])
+            held_into(13, [i32(hn_rows[p] == O_ONION) for p in range(P)])
+            held_into(14, [i32(hn_rows[p] == O_TOMATO) for p in range(P)])
+        else:
+            held_into(7, [i32(hn_rows[p] == O_SOUP) for p in range(P)])
+            held_into(8, [i32(hn_rows[p] == O_DISH) for p in range(P)])
+            held_into(9, [i32(hn_rows[p] == O_ONION) for p in range(P)])
+
+        def stack_rows(rows_, extra=None):
+            """rows_ entries are [B] arrays or python ints; extra[s] python
+            int offsets (terrain one-hot table)."""
+            out = []
+            for s in range(S):
+                r = rows_[s]
+                e = 0 if extra is None else int(extra[s])
+                if isinstance(r, int):
+                    if r == 0 and e == 0:
+                        out.append(jnp.zeros((1, B), jnp.int8))
+                    else:
+                        out.append(jnp.full((1, B), r + e, jnp.int8))
+                else:
+                    out.append((r + e).astype(jnp.int8))
+            return jnp.concatenate(out, axis=0)
+
+        shift = 5 * P
+        # stack object channels once; reuse across observers
+        obj_stacked = [
+            stack_rows(obj_ch[k], extra=base_tbl[:, k]) for k in range(K)
+        ]
+        # ch_matrix[i, .] is a bijection onto 0..P-1, so each presence /
+        # orientation-group channel has exactly one source player
+        inv_ch = {}
+        for i in range(P):
+            for j in range(P):
+                inv_ch[(i, int(ch_matrix[i, j]))] = j
+        for i in range(P):
+            for c in range(C):
+                if c < P:
+                    j = inv_ch[(i, c)]
+                    rows_ = [0] * S
+                    for s in air_cells:
+                        rows_[s] = pos_oh[j][s]
+                    obs_o[i, c] = stack_rows(rows_)
+                elif c < shift:
+                    c1, o = divmod(c - P, 4)
+                    j = inv_ch[(i, c1)]
+                    fo = i32(prop_or[j] == o)
+                    rows_ = [0] * S
+                    for s in air_cells:
+                        rows_[s] = pos_oh[j][s] * fo
+                    obs_o[i, c] = stack_rows(rows_)
+                else:
+                    obs_o[i, c] = obj_stacked[c - shift]
+
+        cat = lambda rows_: jnp.concatenate(rows_, axis=0)
+        on_o[:] = cat(on_r)
+        oo_o[:] = cat(oo_r)
+        ot_o[:] = cat(ot_r)
+        otk_o[:] = cat(otk_r)
+        pos_o[:] = cat(new_pos)
+        or_o[:] = cat(prop_or)
+        hn_o[:] = cat(hn_rows)
+        ho_o[:] = cat(ho_rows)
+        ht_o[:] = cat(ht_rows)
+        htk_o[:] = cat(htk_rows)
+        rew_o[:] = jnp.concatenate([reward] * P, axis=0)
+        ts_o[:] = ts_out
+        done_o[:] = i32(done)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_step(env: OvercookedEnv, num_envs: int, block: int,
+                   interpret: bool):
+    S, P, C = env.size, env.num_players, env.num_channels
+    assert num_envs % block == 0, (num_envs, block)
+    grid = (num_envs // block,)
+    kernel = _build_kernel(env, block)
+
+    def rows(r):
+        return pl.BlockSpec((r, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    obs_spec = pl.BlockSpec((P, C, S, block), lambda i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+    in_specs = [rows(S)] * 4 + [rows(P)] * 6 + [rows(1), rows(P)]
+    out_specs = (
+        [rows(S)] * 4 + [rows(P)] * 6 + [rows(1)]
+        + [obs_spec, rows(P), rows(1)]
+    )
+    sds = jax.ShapeDtypeStruct
+    out_shapes = (
+        [sds((S, num_envs), jnp.int32)] * 4
+        + [sds((P, num_envs), jnp.int32)] * 6
+        + [sds((1, num_envs), jnp.int32),
+           sds((P, C, S, num_envs), jnp.int8),
+           sds((P, num_envs), jnp.int32),
+           sds((1, num_envs), jnp.int32)]
+    )
+    call = pl.pallas_call(
+        kernel, grid=grid,
+        out_shape=tuple(out_shapes),
+        in_specs=in_specs, out_specs=tuple(out_specs),
+        interpret=interpret,
+    )
+
+    def step(ts: TState, actions_t: Array):
+        """actions_t: [P, N] int32."""
+        (on, oo, ot, otk, pos, ornt, hn, ho, ht, htk, tstep, obs, rew,
+         done) = call(
+            ts.obj_name, ts.obj_onions, ts.obj_tomatoes, ts.obj_tick,
+            ts.pos, ts.orient, ts.held_name, ts.held_onions,
+            ts.held_tomatoes, ts.held_tick, ts.timestep, actions_t,
+        )
+        ts2 = TState(
+            obj_name=on, obj_onions=oo, obj_tomatoes=ot, obj_tick=otk,
+            pos=pos, orient=ornt, held_name=hn, held_onions=ho,
+            held_tomatoes=ht, held_tick=htk, timestep=tstep,
+        )
+        return ts2, obs, rew, done[0] != 0
+
+    return step
+
+
+def fused_step(env: OvercookedEnv, ts: TState, actions_t: Array,
+               block: int = 1024, interpret: bool = False):
+    """One fused megakernel step in lane-major layout.
+
+    ``actions_t``: [P, N] int32.  Returns ``(TState', obs [P, C, S, N] int8,
+    reward [P, N] int32, done [N] bool)``.  ``to_env_major`` maps obs onto
+    the jnp path's layout bit-for-bit.
+    """
+    N = ts.pos.shape[-1]
+    block = min(block, N)
+    return _compiled_step(env, N, block, interpret)(ts, actions_t)
