@@ -128,6 +128,35 @@ def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     return jax.jit(run)
 
 
+def build_rollout(env, name: str, num_envs: int, num_steps: int,
+                  backend: str = "auto", block: int = 1024):
+    """(initial_state, initial_out, jitted_run) with backend selection:
+    the Overcooked fused megakernel where supported (default-on on TPU,
+    measured faster at every scale), the jnp path elsewhere."""
+    use_pallas = False
+    if name in ("overcooked", "overcooked2") and backend != "jnp":
+        from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
+            fused_supported,
+        )
+
+        use_pallas = fused_supported(env) and (
+            backend == "pallas" or jax.default_backend() == "tpu"
+        )
+    if use_pallas:
+        from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
+            init_packed,
+        )
+
+        bstate = init_packed(env, num_envs)
+        return bstate, None, pallas_rollout_fn(
+            env, num_envs, num_steps, min(block, num_envs)
+        )
+    sim = Simulator(env, num_envs)
+    return sim.bstate, sim.last_out, rollout_fn(
+        env, num_envs, num_steps, masked=(name == "hanabi")
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="overcooked",
@@ -142,34 +171,18 @@ def main():
                    choices=["auto", "jnp", "pallas"],
                    help="step implementation for overcooked envs; auto = "
                    "pallas megakernel on TPU, jnp elsewhere")
-    p.add_argument("--block", type=int, default=2048,
+    p.add_argument("--block", type=int, default=1024,
                    help="pallas megakernel env-block (lanes per grid step)")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
     args = p.parse_args()
 
     env = make_env(args.env, args.layout, args.num_players)
-    masked = args.env == "hanabi"
-    use_pallas = args.env in ("overcooked", "overcooked2") and (
-        args.backend == "pallas"
-        or (args.backend == "auto" and jax.default_backend() == "tpu")
-    )
-
     key = jax.random.PRNGKey(0)
-    if use_pallas:
-        from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
-            init_packed,
-        )
-
-        bstate = init_packed(env, args.num_envs)
-        out = None
-        run = pallas_rollout_fn(env, args.num_envs, args.num_steps,
-                                min(args.block, args.num_envs))
-    else:
-        sim = Simulator(env, args.num_envs)
-        bstate, out = sim.bstate, sim.last_out
-        run = rollout_fn(env, args.num_envs, args.num_steps, masked)
-
+    bstate, out, run = build_rollout(
+        env, args.env, args.num_envs, args.num_steps,
+        backend=args.backend, block=args.block,
+    )
     bstate, out, s = run(bstate, out, key)  # warmup/compile
     float(s)
 

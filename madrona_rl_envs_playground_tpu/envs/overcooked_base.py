@@ -505,36 +505,69 @@ class OvercookedEnv(EnvBase):
             vals = jnp.ones((P, 1), jnp.int32)
         if S <= _SELECT_MAX_CELLS:
             # Scatter-free formulation (see _SELECT_MAX_CELLS note): positions
-            # and channel slots become one-hot compares combined by UNROLLED
-            # sums over the tiny static dims (players, 4 write slots).  Pure
-            # elementwise VPU work — no einsum/dot_general, which XLA lowers
-            # to catastrophically padded per-env matmuls at these sizes.
+            # and channel slots become one-hot compares combined over the tiny
+            # static dims.  Pure elementwise VPU work — no einsum/dot_general
+            # (catastrophically padded per-env matmuls) and no per-channel
+            # outer products over the full K width: held objects touch <= 4
+            # channels and each player contributes exactly 5 player-block
+            # channels, so the assembly is O(P^2 * 5 * S), not O(P^2 * K * S)
+            # (at many_player P=30 the dense form was ~34M elem-ops per env
+            # and lost 2.5x to the A40).
             J = ch_slots.shape[1]
             pos_oh = (state.pos[:, None] == jnp.arange(S)[None, :]).astype(
                 jnp.int32
             )  # [P, S]
-            kr = jnp.arange(K)
-            held_k = jnp.zeros((S, K), jnp.int32)
-            for p in range(P):
-                valsk = jnp.zeros((K,), jnp.int32)
+            # held-object channels: accumulate channel-wise over the few
+            # channels a held object can touch, folded into the pre-stack
+            # cols (a post-stack .at[:, c].add would copy the whole [S, K]
+            # array per channel)
+            relevant = (8, 9, 11, 12, 13, 14) if self.variant == "v1" else (7, 8, 9)
+            for c in relevant:
+                w = jnp.zeros((P,), jnp.int32)
                 for j in range(J):
-                    valsk = valsk + vals[p, j] * (ch_slots[p, j] == kr).astype(jnp.int32)
-                held_k = held_k + pos_oh[p][:, None] * valsk[None, :]
-            shared_k = shared_k + held_k  # [S, K]
+                    w = w + vals[:, j] * (ch_slots[:, j] == c).astype(jnp.int32)
+                cols[c] = cols[c] + jnp.sum(pos_oh * w[:, None], axis=0)
+            shared_k = jnp.stack(cols, axis=1)  # [S, K] (held included)
 
-            # orientation channel = P + 4*ch[i,j] + orient[j]; presence = ch[i,j]
-            cr = jnp.arange(shift)
-            rows = []
-            for i in range(P):
-                acc = jnp.zeros((S, shift), jnp.int32)
-                for j in range(P):
-                    c1 = int(self._ch_matrix[i, j])
-                    chan_j = (cr == c1).astype(jnp.int32) + (
-                        cr == P + 4 * c1 + state.orient[j]
-                    ).astype(jnp.int32)  # [shift]
-                    acc = acc + pos_oh[j][:, None] * chan_j[None, :]
-                rows.append(acc)
-            player_part = jnp.stack(rows)  # [P, S, shift]
+            if P <= 8:
+                # dense per-(observer, player) channel one-hot products —
+                # O(P^2 * S * 5P) but XLA fuses it into few large VPU ops;
+                # fastest at bench player counts
+                cr = jnp.arange(shift)
+                rows = []
+                for i in range(P):
+                    acc = jnp.zeros((S, shift), jnp.int32)
+                    for j in range(P):
+                        c1 = int(self._ch_matrix[i, j])
+                        chan_j = (cr == c1).astype(jnp.int32) + (
+                            cr == P + 4 * c1 + state.orient[j]
+                        ).astype(jnp.int32)  # [shift]
+                        acc = acc + pos_oh[j][:, None] * chan_j[None, :]
+                    rows.append(acc)
+                player_part = jnp.stack(rows)  # [P, S, shift]
+            else:
+                # many-player: each player contributes exactly 5 channels
+                # (presence + 4 orientation one-hots) and the per-observer
+                # channel ORDER is a static permutation of player rank
+                # (ch_matrix), so the [S, 5P] block is a static concat of
+                # per-player [S, 5] blocks — O(P^2 * 5 * S) (the dense form
+                # is ~34M elem-ops per env at P=30 and loses 2.5x to the A40)
+                ori_oh = (state.orient[:, None] == jnp.arange(4)[None, :]).astype(
+                    jnp.int32
+                )  # [P, 4]
+                pres_cols = [pos_oh[j][:, None] for j in range(P)]      # [S,1]
+                ori_cols = [
+                    pos_oh[j][:, None] * ori_oh[j][None, :] for j in range(P)
+                ]  # [S,4]
+                inv = np.argsort(self._ch_matrix, axis=1)  # rank -> player
+                rows = []
+                for i in range(P):
+                    order = [int(inv[i, r]) for r in range(P)]
+                    rows.append(jnp.concatenate(
+                        [pres_cols[j] for j in order]
+                        + [ori_cols[j] for j in order], axis=1,
+                    ))  # [S, 5P]
+                player_part = jnp.stack(rows)  # [P, S, shift]
         else:
             held_k = jnp.zeros((S, K), jnp.int32).at[
                 state.pos[:, None], ch_slots

@@ -136,6 +136,13 @@ def to_env_major(env: OvercookedEnv, obs_t: Array) -> Array:
 # kernel
 # ---------------------------------------------------------------------------
 
+def fused_supported(env: OvercookedEnv) -> bool:
+    """The kernel unrolls cells x players at trace time; past ~100 cells or
+    4 players the trace/compile cost outgrows the win and the jnp path's
+    gather branch is the right tool (many_player_layout-scale grids)."""
+    return env.size <= 100 and env.num_players <= 4
+
+
 def _build_kernel(env: OvercookedEnv, block: int):
     """Rows-form kernel: cell state lives as python lists of [B] lane
     vectors (Mosaic rejects scatter, so there are no ``.at[]`` updates —

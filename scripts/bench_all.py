@@ -14,8 +14,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax  # noqa: E402
 
-from bench import REFERENCE_GPU, make_env, rollout_fn  # noqa: E402
-from madrona_rl_envs_playground_tpu.core.batch import Simulator  # noqa: E402
+from bench import REFERENCE_GPU, build_rollout, make_env  # noqa: E402
 
 
 CONFIGS = [
@@ -30,14 +29,14 @@ CONFIGS = [
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
     args = p.parse_args()
 
     for name, layout, num_envs, num_steps in CONFIGS:
         env = make_env(name, layout, None)
-        sim = Simulator(env, num_envs)
-        run = rollout_fn(env, num_envs, num_steps, masked=(name == "hanabi"))
         key = jax.random.PRNGKey(0)
-        bstate, out = sim.bstate, sim.last_out
+        bstate, out, run = build_rollout(env, name, num_envs, num_steps,
+                                         backend=args.backend)
         bstate, out, s = run(bstate, out, key)
         float(s)  # value fetch = trustworthy barrier through the tunnel
         times = []
