@@ -9,11 +9,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skip(
-    reason="pallas compile path unavailable in this environment: CPU interpret "
-    "mode is impractically slow, and the tunneled TPU's remote-compile helper "
-    "aborts (SIGABRT) / hangs on pallas programs.  Run manually on direct TPU "
-    "hardware; the kernel is exercised there via ops/hanabi_pallas.py."
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled-pallas test; CPU interpret mode is impractically slow "
+    "for this kernel (the fused overcooked megakernel has its own interpret "
+    "suite in test_overcooked_pallas.py)",
 )
 
 
