@@ -106,6 +106,7 @@ def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import fused_step
 
     P = env.num_agents
+    interp = jax.default_backend() != "tpu"
 
     def body(carry, _):
         ts, key = carry
@@ -113,7 +114,8 @@ def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
         actions = jax.random.randint(
             sub, (P, num_envs), 0, env.num_actions, dtype=jnp.int32
         )
-        ts, obs, rew, done = fused_step(env, ts, actions, block=block)
+        ts, obs, rew, done = fused_step(env, ts, actions, block=block,
+                                        interpret=interp)
         chk = (
             rew.astype(jnp.int32).sum()
             + obs.astype(jnp.int32).sum()
@@ -128,11 +130,49 @@ def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     return jax.jit(run)
 
 
+def cartpole_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
+    """Fused cartpole megakernel rollout (ops/cartpole_pallas): the state
+    rows ARE the obs export, reward is the constant 1/step; the checksum
+    consumes state + done like the jnp path's obs/done terms."""
+    from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import fused_step
+
+    interp = jax.default_backend() != "tpu"
+
+    def body(carry, _):
+        grid, rng_i, cnt, key = carry
+        key, sub = jax.random.split(key)
+        acts = jax.random.randint(sub, (1, num_envs), 0, 2, jnp.int32)
+        grid, rng_i, done, cnt = fused_step(grid, rng_i, cnt, acts, block=block,
+                                            interpret=interp)
+        chk = grid[0].sum() + done.sum()
+        return (grid, rng_i, cnt, key), chk
+
+    def run(carry, _out, key):
+        (grid, rng_i, cnt, _), chks = lax.scan(
+            body, carry + (key,), None, length=num_steps
+        )
+        return (grid, rng_i, cnt), None, chks[-1] + cnt.astype(jnp.float32)
+
+    return jax.jit(run)
+
+
 def build_rollout(env, name: str, num_envs: int, num_steps: int,
                   backend: str = "auto", block: int = 1024):
     """(initial_state, initial_out, jitted_run) with backend selection:
-    the Overcooked fused megakernel where supported (default-on on TPU,
-    measured faster at every scale), the jnp path elsewhere."""
+    the fused megakernels where supported (default-on on TPU, measured
+    faster), the jnp path elsewhere."""
+    on_tpu = jax.default_backend() == "tpu"
+    if name == "cartpole" and backend != "jnp" and (
+        backend == "pallas" or on_tpu
+    ):
+        from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
+            init_packed,
+        )
+
+        carry = init_packed(num_envs)
+        return carry, None, cartpole_pallas_rollout_fn(
+            num_envs, num_steps, min(max(block, 8192), num_envs)
+        )
     use_pallas = False
     if name in ("overcooked", "overcooked2") and backend != "jnp":
         from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (

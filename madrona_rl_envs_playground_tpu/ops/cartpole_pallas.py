@@ -1,0 +1,216 @@
+"""Fused Cartpole step megakernel (Pallas TPU).
+
+One kernel per env block: Euler physics, termination, world-order episode
+allocation, the bit-exact TEA+LCG episode reset draw, and the state export
+(the observation IS the four state rows, so the kernel's state output is
+the zero-copy obs — exactly the Madrona manager's exported-column model,
+``src/cartpole_env/mgr.cpp:195-199``).  Semantics source:
+``envs/cartpole.py`` / ``src/cartpole_env/sim.cpp:9-96`` and
+``core/rng.py`` / ``src/cartpole_env/rng.hpp:7-36``.
+
+Lane-major layout as in ``overcooked_pallas``: state is ``[4, N]`` f32 rows
+(x, x_dot, theta, theta_dot) + ``[1, N]`` i32 LCG words; the env batch rides
+the lanes.  Two TPU-specific mechanisms:
+
+* **World-order episode counter across blocks** — the jnp path's
+  ``cumsum(done)`` spans the whole batch (the deterministic analog of the
+  reference's global ``fetch_add``).  The grid is sequential on TPU, so an
+  SMEM scratch carries the running counter block to block; within a block a
+  log2(B) shift-add prefix sum over lanes (``pltpu.roll``) assigns ranks.
+* **Integer-only RNG** — the TEA hash + LCG run in int32 with
+  ``lax.shift_right_logical`` (bit-identical to the uint32 reference
+  stream mod 2^32); the 24-bit mask keeps the float conversion exact.
+
+Bit-exactness vs the jnp ``batched_step`` (state, obs, done, episode
+counter, across resets) is enforced by ``tests/test_cartpole_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..envs.cartpole import THETA_THRESHOLD, X_THRESHOLD, Env, State
+
+Array = jnp.ndarray
+
+_LCG_A = 1664525
+_LCG_C = 1013904223
+_TEA_DELTA = 0x9E3779B9
+_K0, _K1, _K2, _K3 = 0xA341316C, 0xC8013EA4, 0xAD90777D, 0x7E95761E
+_MASK24 = 0x00FFFFFF
+_INV_2_24 = 1.0 / float(0x01000000)
+
+def _i32(x: int):
+    """uint32 constant as its two's-complement int32 value."""
+    return jnp.int32(x - (1 << 32) if x >= (1 << 31) else x)
+
+
+def _tea_seed(idx):
+    """8-round TEA hash (int32 bit-parity with core.rng.seed)."""
+    srl = lax.shift_right_logical
+    v0 = idx
+    v1 = jnp.zeros_like(idx)
+    s0 = jnp.zeros_like(idx)
+    for _ in range(8):
+        s0 = s0 + _i32(_TEA_DELTA)
+        v0 = v0 + (((v1 << 4) + _i32(_K0)) ^ (v1 + s0) ^ (srl(v1, 5) + _i32(_K1)))
+        v1 = v1 + (((v0 << 4) + _i32(_K2)) ^ (v0 + s0) ^ (srl(v0, 5) + _i32(_K3)))
+    return v0
+
+
+def _lcg_next(v):
+    return _i32(_LCG_A) * v + _i32(_LCG_C)
+
+
+def _unif(v):
+    """[0,1) from the low 24 bits of the (already advanced) word."""
+    return (v & _i32(_MASK24)).astype(jnp.float32) * jnp.float32(_INV_2_24)
+
+
+def pack_state(vstate: State):
+    """vmap-ed State [N] rows -> (grid [4, N] f32, rng [1, N] i32)."""
+    grid = jnp.stack([vstate.x, vstate.x_dot, vstate.theta, vstate.theta_dot])
+    rng_i = lax.bitcast_convert_type(vstate.rng_v, jnp.int32)[None, :]
+    return grid, rng_i
+
+
+def unpack_state(grid: Array, rng_i: Array) -> State:
+    return State(
+        x=grid[0], x_dot=grid[1], theta=grid[2], theta_dot=grid[3],
+        rng_v=lax.bitcast_convert_type(rng_i[0], jnp.uint32),
+    )
+
+
+def _build_kernel(block: int):
+    B = block
+    f32 = jnp.float32
+
+    def kernel(cnt_ref, st_ref, rng_ref, act_ref,
+               st_o, rng_o, done_o, cnt_o, base_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            base_s[0, 0] = cnt_ref[0, 0]
+
+        x, xd = st_ref[0:1], st_ref[1:2]
+        th, thd = st_ref[2:3], st_ref[3:4]
+        v = rng_ref[:]
+        a = act_ref[:]
+
+        force = jnp.where(a == 1, f32(10.0), f32(-10.0))
+        costh = jnp.cos(th)
+        sinth = jnp.sin(th)
+        temp = (force + f32(0.05) * thd * thd * sinth) / f32(1.1)
+        thacc = (f32(9.8) * sinth - costh * temp) / (
+            f32(0.5) * (f32(4.0 / 3.0) - f32(0.1) * costh * costh / f32(1.1))
+        )
+        xacc = temp - f32(0.05) * thacc * costh / f32(1.1)
+        x2 = x + f32(0.02) * xd
+        xd2 = xd + f32(0.02) * xacc
+        th2 = th + f32(0.02) * thd
+        thd2 = thd + f32(0.02) * thacc
+
+        done = (
+            (x2 < f32(-X_THRESHOLD)) | (x2 > f32(X_THRESHOLD))
+            | (th2 < f32(-THETA_THRESHOLD)) | (th2 > f32(THETA_THRESHOLD))
+        )
+        d32 = done.astype(jnp.int32)
+
+        # world-order rank within the block: log-step lane prefix sum
+        lane = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        ps = d32
+        k = 1
+        while k < B:
+            ps = ps + jnp.where(lane >= k, pltpu.roll(ps, shift=k, axis=1), 0)
+            k *= 2
+        total = jnp.sum(d32, axis=1, keepdims=True)  # [1,1]
+        base = base_s[0, 0]
+        eps = base + (ps - d32)  # [1,B] episode index per resetting env
+        base_s[0, 0] = base + total[0, 0]
+
+        # fresh episode: TEA seed + 4 LCG draws (sim.cpp:47-66)
+        s = _tea_seed(eps)
+        lo, rng_w = f32(-0.05), f32(0.1)
+        v1 = _lcg_next(s)
+        v2 = _lcg_next(v1)
+        v3 = _lcg_next(v2)
+        v4 = _lcg_next(v3)
+        fx = lo + _unif(v1) * rng_w
+        fxd = lo + _unif(v2) * rng_w
+        fth = lo + _unif(v3) * rng_w
+        fthd = lo + _unif(v4) * rng_w
+
+        st_o[0:1] = jnp.where(done, fx, x2)
+        st_o[1:2] = jnp.where(done, fxd, xd2)
+        st_o[2:3] = jnp.where(done, fth, th2)
+        st_o[3:4] = jnp.where(done, fthd, thd2)
+        rng_o[:] = jnp.where(done, v4, v)
+        done_o[:] = d32
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            cnt_o[0, 0] = base_s[0, 0]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_step(num_envs: int, block: int, interpret: bool):
+    assert num_envs % block == 0
+    grid = (num_envs // block,)
+    kernel = _build_kernel(block)
+
+    rows = lambda r: pl.BlockSpec((r, block), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+    smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    sds = jax.ShapeDtypeStruct
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem11, rows(4), rows(1), rows(1)],
+        out_specs=(rows(4), rows(1), rows(1), smem11),
+        out_shape=(
+            sds((4, num_envs), jnp.float32),
+            sds((1, num_envs), jnp.int32),
+            sds((1, num_envs), jnp.int32),
+            sds((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def step(grid_st, rng_i, counter, actions_t):
+        """grid_st [4,N] f32; rng_i [1,N] i32; counter scalar i32;
+        actions_t [1,N] i32."""
+        st, rng2, done, cnt = call(
+            counter.reshape(1, 1).astype(jnp.int32), grid_st, rng_i, actions_t
+        )
+        return st, rng2, done[0] != 0, cnt[0, 0]
+
+    return step
+
+
+def fused_step(grid_st: Array, rng_i: Array, counter, actions_t: Array,
+               block: int = 2048, interpret: bool = False):
+    """One fused cartpole step.  Returns (state' [4,N], rng' [1,N],
+    done [N] bool, counter').  state' doubles as the obs export (obs ==
+    the four state rows); reward is the constant 1.0 per live step."""
+    N = grid_st.shape[-1]
+    block = min(block, N)
+    return _compiled_step(N, block, interpret)(grid_st, rng_i, counter, actions_t)
+
+
+def init_packed(num_envs: int, start_episode: int = 0):
+    """Fresh batch in kernel layout + the post-init episode counter."""
+    env = Env()
+    eps = jnp.arange(num_envs, dtype=jnp.uint32) + jnp.uint32(start_episode)
+    st = jax.vmap(env.init_core)(eps)
+    grid, rng_i = pack_state(st)
+    return grid, rng_i, jnp.int32(start_episode + num_envs)

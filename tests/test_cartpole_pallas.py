@@ -1,0 +1,60 @@
+"""Bit-exactness of the fused cartpole megakernel vs the jnp path: state,
+done, episode counter, and the TEA+LCG reset draws, across many resets
+(cartpole episodes under random actions last ~10-50 steps, so a 60-step run
+exercises hundreds of world-order counter allocations)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madrona_rl_envs_playground_tpu.core.batch import batched_reset, batched_step
+from madrona_rl_envs_playground_tpu.envs import cartpole
+from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
+    fused_step,
+    init_packed,
+    pack_state,
+    unpack_state,
+)
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def test_cartpole_kernel_matches_jnp():
+    env = cartpole.Env()
+    N = 64
+    bstate, out = batched_reset(env, N)
+    grid, rng_i = pack_state(bstate.env_states)
+    counter = jnp.int32(N)
+
+    g0, r0, c0 = init_packed(N)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(grid))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(rng_i))
+    assert int(c0) == N
+
+    step_jnp = jax.jit(batched_step, static_argnums=(0,))
+    step_pal = jax.jit(
+        lambda g, r, c, a: fused_step(g, r, c, a, block=16, interpret=INTERP)
+    )
+    rs = np.random.RandomState(0)
+    saw_done = 0
+    for t in range(60):
+        actions = jnp.asarray(rs.randint(0, 2, size=(N, 1)), jnp.int32)
+        bstate, out = step_jnp(env, bstate, actions)
+        grid, rng_i, done, counter = step_pal(grid, rng_i, counter, actions.T)
+        saw_done += int(np.asarray(done).sum())
+        np.testing.assert_array_equal(
+            np.asarray(done), np.asarray(out.done), err_msg=f"t={t} done"
+        )
+        assert int(counter) == int(bstate.episode_counter), f"t={t} counter"
+        ref = bstate.env_states
+        got = unpack_state(grid, rng_i)
+        for f in ("x", "x_dot", "theta", "theta_dot", "rng_v"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+                err_msg=f"t={t} state.{f}",
+            )
+        # obs is the state rows
+        np.testing.assert_array_equal(
+            np.asarray(grid).T[:, None, :], np.asarray(out.obs), err_msg=f"t={t} obs"
+        )
+    assert saw_done > N, "random cartpole must reset many times in 60 steps"
