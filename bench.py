@@ -156,12 +156,54 @@ def cartpole_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
     return jax.jit(run)
 
 
+def hanabi_pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
+    """Fused-megakernel hanabi rollout: mask-legal uniform sampling from the
+    kernel-produced mask buffers, checksum consumption matching the jnp
+    path (obs + mask + reward + done)."""
+    from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import fused_step
+
+    interp = jax.default_backend() != "tpu"
+
+    def body(carry, _):
+        d, cnt, key = carry
+        key, sub = jax.random.split(key)
+        # mask [P, A, N] int8 -> per-seat legal sample (jnp path samples all
+        # seats each step the same way)
+        logits = jnp.where(jnp.transpose(d["mask"], (2, 0, 1)) != 0, 0.0, -jnp.inf)
+        actions = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        d, rew, done, cnt = fused_step(env, d, cnt, actions.T, block=block,
+                                       interpret=interp)
+        chk = (
+            rew.sum() + done.sum()
+            + d["obs"].astype(jnp.int32).sum()
+            + d["mask"].astype(jnp.int32).sum()
+        )
+        return (d, cnt, key), chk
+
+    def run(carry, _out, key):
+        (d, cnt, _), chks = lax.scan(body, carry + (key,), None, length=num_steps)
+        return (d, cnt), None, chks.sum()
+
+    return jax.jit(run)
+
+
 def build_rollout(env, name: str, num_envs: int, num_steps: int,
                   backend: str = "auto", block: int = 1024):
     """(initial_state, initial_out, jitted_run) with backend selection:
     the fused megakernels where supported (default-on on TPU, measured
     faster), the jnp path elsewhere."""
     on_tpu = jax.default_backend() == "tpu"
+    if name == "hanabi" and backend != "jnp":
+        from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import (
+            fused_supported,
+            init_packed,
+        )
+
+        if fused_supported(env) and (backend == "pallas" or on_tpu):
+            carry = init_packed(env, num_envs)
+            return carry, None, hanabi_pallas_rollout_fn(
+                env, num_envs, num_steps, min(block, num_envs)
+            )
     if name == "cartpole" and backend != "jnp" and (
         backend == "pallas" or on_tpu
     ):
