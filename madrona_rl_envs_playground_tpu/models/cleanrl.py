@@ -29,23 +29,30 @@ class MLPTower(nn.Module):
     hidden: int = 512
     num_layers: int = 3
     out_scale: float = 0.01
+    dtype: Optional[jnp.dtype] = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = x.astype(jnp.float32)
+        x = x.astype(self.dtype or jnp.float32)
         for _ in range(self.num_layers):
-            x = nn.relu(dense(self.hidden)(x))
-        return dense(self.out_features, scale=self.out_scale)(x)
+            x = nn.relu(dense(self.hidden, dtype=self.dtype)(x))
+        # the head's logits/value come back in float32 for stable softmax /
+        # loss math regardless of the trunk dtype
+        return dense(self.out_features, scale=self.out_scale,
+                     dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class CleanRLNetwork(nn.Module):
     num_actions: int
     hidden: int = 512
     num_layers: int = 3
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.actor = MLPTower(self.num_actions, self.hidden, self.num_layers)
-        self.critic = MLPTower(1, self.hidden, self.num_layers)
+        self.actor = MLPTower(self.num_actions, self.hidden, self.num_layers,
+                              dtype=self.dtype)
+        self.critic = MLPTower(1, self.hidden, self.num_layers,
+                               dtype=self.dtype)
 
     def get_value(self, state: Array) -> Array:
         return self.critic(state)[..., 0]

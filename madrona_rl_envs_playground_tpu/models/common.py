@@ -18,12 +18,16 @@ from jax.nn.initializers import constant, orthogonal
 Array = jnp.ndarray
 
 
-def dense(features: int, scale: float = 2.0**0.5, name=None) -> nn.Dense:
+def dense(features: int, scale: float = 2.0**0.5, name=None,
+          dtype=None) -> nn.Dense:
+    """``dtype`` is the flax compute dtype (params stay float32); pass
+    ``jnp.bfloat16`` for MXU-rate matmuls on TPU."""
     return nn.Dense(
         features,
         kernel_init=orthogonal(scale),
         bias_init=constant(0.0),
         name=name,
+        dtype=dtype,
     )
 
 

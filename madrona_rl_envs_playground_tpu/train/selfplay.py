@@ -55,6 +55,12 @@ class SelfPlayConfig:
     max_grad_norm: float = 0.5
     hidden: int = 512
     num_layers: int = 3
+    # bfloat16 compute for the actor/critic matmuls (params/optimizer stay
+    # f32, logits/values cast back to f32 before softmax/losses).  The PPO
+    # update phase is ~90%% of train_step and MXU-rate-bound; bf16 runs the
+    # matmuls at the systolic-array rate.  Off by default for strict parity
+    # with the reference's f32 torch nets.
+    use_bf16: bool = False
 
 
 def credit_rewards(rewards: Array, active: Array, dones: Array) -> Tuple[Array, Array]:
@@ -112,7 +118,9 @@ class SelfPlayPPO:
         self.num_envs = num_envs
         self.cfg = cfg
         self.net = CleanRLNetwork(
-            num_actions=env.num_actions, hidden=cfg.hidden, num_layers=cfg.num_layers
+            num_actions=env.num_actions, hidden=cfg.hidden,
+            num_layers=cfg.num_layers,
+            dtype=jnp.bfloat16 if cfg.use_bf16 else None,
         )
 
         key = jax.random.PRNGKey(seed)

@@ -47,6 +47,8 @@ def main():
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--num-minibatches", type=int, default=1)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 network compute (f32 params/losses)")
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--log-every", type=int, default=1)
@@ -58,7 +60,7 @@ def main():
     cfg = SelfPlayConfig(
         num_steps=args.num_steps, lr=args.lr, hidden=args.hidden,
         num_layers=args.layers, update_epochs=args.epochs, ent_coef=args.ent_coef,
-        num_minibatches=args.num_minibatches,
+        num_minibatches=args.num_minibatches, use_bf16=args.bf16,
     )
     trainer = SelfPlayPPO(env, num_envs=args.num_envs, cfg=cfg, seed=args.seed)
     t0 = time.time()
