@@ -1,0 +1,148 @@
+"""Megakernel-backed rollout collection for the training stacks.
+
+The fused Pallas megakernels (``ops/overcooked_pallas.py``,
+``ops/hanabi_megakernel.py``) were rollout-only: ``bench.py`` drives them,
+but training collected experience through the jnp ``batched_step``.  This
+module is the seam that lets ``SelfPlayPPO`` (and anything else that steps
+``(BatchState, StepOutput)``) run its rollout scan on the megakernels
+instead: the whole env transition + encode executes as ONE Pallas kernel per
+step with every intermediate in VMEM, exactly like the reference trains
+directly against the ``MWCudaExecutor`` step (``pantheonrl_extension/
+vectorenv.py`` rollout over the Madrona manager step, reference
+``src/overcooked_env/mgr.cpp``).
+
+Each backend implements three pure functions usable inside a jit:
+
+* ``pack(bstate) -> carry``     vmap-major BatchState -> lane-major kernel state
+* ``step(carry, actions [N, P]) -> (carry', StepOutput)``  with the StepOutput
+  bit-identical to ``batched_step``'s (proved by ``tests/test_fused_collect.py``)
+* ``unpack(carry) -> bstate``   back to the vmap-major BatchState
+
+Pack/unpack are transposes that run ONCE per train_step (not per env step),
+so the training state pytree, checkpoint format, and eval path stay
+unchanged; only the T-step scan body switches to the kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.batch import BatchState
+from ..core.types import StepOutput
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedCollect:
+    """A megakernel-backed drop-in for ``batched_step`` inside a rollout scan."""
+
+    pack: Callable[[BatchState], Any]
+    step: Callable[[Any, Array], Tuple[Any, StepOutput]]
+    unpack: Callable[[Any], BatchState]
+
+
+def make_fused_collect(env, num_envs: int, *, block: int = 1024,
+                       interpret: Optional[bool] = None) -> Optional[FusedCollect]:
+    """Return the env's fused collector, or None when no kernel applies.
+
+    ``interpret`` defaults to True off-TPU so the same code path is testable
+    (and bit-diffable against ``batched_step``) on CPU.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kind = type(env).__module__.rsplit(".", 1)[-1]
+    if kind == "overcooked_base":
+        return _overcooked_collect(env, num_envs, block, interpret)
+    if kind == "hanabi":
+        return _hanabi_collect(env, num_envs, block, interpret)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Overcooked
+# ---------------------------------------------------------------------------
+
+def _overcooked_collect(env, num_envs, block, interpret):
+    from ..ops import overcooked_pallas as ok
+
+    if not ok.fused_supported(env):
+        return None
+    P, A = env.num_players, env.num_actions
+
+    def pack(bstate: BatchState):
+        return (ok.pack_state(env, bstate.env_states), bstate.episode_counter)
+
+    def step(carry, actions: Array):
+        ts, counter = carry
+        ts2, obs_k, rew, done = ok.fused_step(
+            env, ts, jnp.transpose(actions).astype(jnp.int32),
+            block=block, interpret=interpret,
+        )
+        obs = ok.to_env_major(env, obs_k)                     # [N, P, F] int8
+        out = StepOutput(
+            obs=obs,
+            state_obs=obs,
+            action_mask=jnp.ones((num_envs, P, A), jnp.bool_),
+            active=jnp.ones((num_envs, P), jnp.bool_),
+            reward=jnp.transpose(rew).astype(env.reward_dtype),
+            done=done,
+        )
+        # Overcooked resets are episode-index independent; the counter only
+        # tracks world-order episode allocation (reference fetch_add order).
+        counter = counter + jnp.sum(done).astype(counter.dtype)
+        return (ts2, counter), out
+
+    def unpack(carry):
+        ts, counter = carry
+        return BatchState(env_states=ok.unpack_state(env, ts),
+                          episode_counter=counter)
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack)
+
+
+# ---------------------------------------------------------------------------
+# Hanabi
+# ---------------------------------------------------------------------------
+
+def _hanabi_collect(env, num_envs, block, interpret):
+    from ..ops import hanabi_megakernel as hk
+
+    if not hk.fused_supported(env):
+        return None
+    P = env.players
+    block = min(block, 512)  # the hanabi kernel's VMEM envelope caps at 512
+
+    def pack(bstate: BatchState):
+        return (hk.pack_state(env, bstate.env_states),
+                bstate.episode_counter.astype(jnp.int32))
+
+    def step(carry, actions: Array):
+        d, counter = carry
+        d2, rew, done, counter2 = hk.fused_step(
+            env, d, counter, jnp.transpose(actions).astype(jnp.int32),
+            block=block, interpret=interpret,
+        )
+        nmaj = lambda a: jnp.transpose(a, (2, 0, 1))          # [P,B,N]->[N,P,B]
+        obs = nmaj(d2["obs"])
+        out = StepOutput(
+            obs=obs,
+            state_obs=jnp.concatenate([obs, nmaj(d2["own"])], axis=-1),
+            action_mask=nmaj(d2["mask"]) != 0,
+            active=d2["scal"][hk._CUR][:, None] == jnp.arange(P)[None, :],
+            reward=jnp.broadcast_to(
+                rew[:, None], (num_envs, P)).astype(env.reward_dtype),
+            done=done,
+        )
+        return (d2, counter2), out
+
+    def unpack(carry):
+        d, counter = carry
+        return BatchState(env_states=hk.unpack_state(env, d),
+                          episode_counter=counter.astype(jnp.uint32))
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack)

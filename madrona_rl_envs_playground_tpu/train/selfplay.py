@@ -61,6 +61,12 @@ class SelfPlayConfig:
     # matmuls at the systolic-array rate.  Off by default for strict parity
     # with the reference's f32 torch nets.
     use_bf16: bool = False
+    # Rollout collection backend: "auto" uses the fused Pallas megakernel
+    # (train/fused_collect.py) on TPU where one exists for the env, the jnp
+    # batched_step otherwise; "pallas"/"jnp" force it.  The collected
+    # trajectories are bit-identical either way (tests/test_fused_collect.py) —
+    # this only changes how many HBM round-trips one env step costs.
+    rollout_backend: str = "auto"
 
 
 def credit_rewards(rewards: Array, active: Array, dones: Array) -> Tuple[Array, Array]:
@@ -148,6 +154,15 @@ class SelfPlayPPO:
             from ..parallel.mesh import put_selfplay_state
 
             self.state = put_selfplay_state(self.state, mesh)
+        # Fused megakernel collection (mesh path stays on jnp: pallas_call
+        # does not SPMD-partition under pjit without a shard_map wrapper).
+        self._fused = None
+        if mesh is None and cfg.rollout_backend != "jnp":
+            from .fused_collect import make_fused_collect
+
+            on_tpu = jax.default_backend() == "tpu"
+            if cfg.rollout_backend == "pallas" or on_tpu:
+                self._fused = make_fused_collect(env, num_envs)
         # No donation: StepOutput.obs/state_obs may alias one buffer (envs
         # where state==obs), and donating an aliased pytree is an error.
         self.train_step = jax.jit(self._train_step)
@@ -174,11 +189,19 @@ class SelfPlayPPO:
         N = self.num_envs
         P = env.num_agents
 
+        fused = self._fused
+        if fused is not None:
+            env_step = fused.step
+            carry0 = fused.pack(state["bstate"])
+        else:
+            env_step = lambda ec, a: batched_step(env, ec, a)
+            carry0 = state["bstate"]
+
         def rollout_body(carry, _):
-            bstate, out, key = carry
+            ecarry, out, key = carry
             key, ak = jax.random.split(key)
             action, logp, value = self._policy(state["params"], ak, out)
-            bstate2, out2 = batched_step(env, bstate, action)
+            ecarry2, out2 = env_step(ecarry, action)
             ys = {
                 "obs": out.obs,
                 "state_obs": out.state_obs,
@@ -190,14 +213,15 @@ class SelfPlayPPO:
                 "reward": out2.reward.astype(jnp.float32),
                 "done": out2.done,
             }
-            return (bstate2, out2, key), ys
+            return (ecarry2, out2, key), ys
 
-        (bstate, out, key), tr = jax.lax.scan(
+        (ecarry, out, key), tr = jax.lax.scan(
             rollout_body,
-            (state["bstate"], state["out"], state["key"]),
+            (carry0, state["out"], state["key"]),
             None,
             length=cfg.num_steps,
         )
+        bstate = fused.unpack(ecarry) if fused is not None else ecarry
 
         T = cfg.num_steps
         M = N * P
