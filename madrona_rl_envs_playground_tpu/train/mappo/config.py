@@ -61,6 +61,10 @@ class MAPPOConfig:
     seed: int = 1
     save_interval: int = 1
     log_interval: int = 5
+    # rollout collection backend: "auto" steps the fused Pallas megakernel
+    # on TPU where the env has one (train/fused_collect.py), jnp elsewhere;
+    # "pallas"/"jnp" force.  Trajectories are bit-identical either way.
+    rollout_backend: str = "auto"
 
     def model_config(self) -> ModelConfig:
         return ModelConfig(

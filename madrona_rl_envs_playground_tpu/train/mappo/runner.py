@@ -61,6 +61,16 @@ class MAPPORunner:
         self._rnnc = jnp.zeros((self.N * self.A, L, H))
         self._masks = jnp.ones((self.N * self.A,))
 
+        # Fused megakernel collection (see train/fused_collect.py): the
+        # T-step scan below steps the Pallas kernel instead of batched_step,
+        # with pack/unpack transposes once per collect.
+        self._fused = None
+        if cfg.rollout_backend != "jnp":
+            from ..fused_collect import make_fused_collect
+
+            if cfg.rollout_backend == "pallas" or jax.default_backend() == "tpu":
+                self._fused = make_fused_collect(env, self.N)
+
         self._collect = jax.jit(self._collect_impl)
         self._compute = jax.jit(self._compute_impl)
 
@@ -70,6 +80,14 @@ class MAPPORunner:
         cfg = self.cfg
         N, A = self.N, self.A
         B = N * A
+
+        fused = self._fused
+        if fused is not None:
+            env_step = fused.step
+            bstate = fused.pack(bstate)
+        else:
+            env_step = lambda ec, a: batched_step(env=self.env, bstate=ec,
+                                                  actions=a)
 
         def step_fn(carry, _):
             bstate, out, rnn, rnnc, masks, key = carry
@@ -82,8 +100,7 @@ class MAPPORunner:
             values, actions, logp, rnn2, rnnc2 = self.policy.get_actions(
                 pstate, ak, sobs, obs, rnn, rnnc, masks, avail
             )
-            bstate2, out2 = batched_step(env=self.env, bstate=bstate,
-                                         actions=actions.reshape(N, A))
+            bstate2, out2 = env_step(bstate, actions.reshape(N, A))
             done = out2.done  # [N]
             done_b = jnp.repeat(done[:, None], A, axis=1).reshape(B)
             masks2 = 1.0 - done_b.astype(jnp.float32)
@@ -104,6 +121,8 @@ class MAPPORunner:
             step_fn, (bstate, out0, rnn0, rnnc0, masks0, key), None,
             length=cfg.episode_length,
         )
+        if fused is not None:
+            bstate = fused.unpack(bstate)
         return bstate, out, rnn, rnnc, masks, key, tr
 
     def _compute_impl(self, tstate, buf, out, rnnc, masks):

@@ -104,3 +104,26 @@ def test_selfplay_pallas_rollout_matches_jnp(kind):
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
         tr_j.state["params"], tr_p.state["params"],
     )
+
+
+def test_mappo_pallas_collect_matches_jnp():
+    from madrona_rl_envs_playground_tpu.train.mappo import (
+        MAPPOConfig, MAPPORunner)
+
+    env = overcooked.make("cramped_room", horizon=8)
+    mk = lambda backend: MAPPORunner(
+        MAPPOConfig(episode_length=8, n_rollout_threads=4, hidden_size=16,
+                    layer_N=1, ppo_epoch=2, num_mini_batch=1, seed=5,
+                    rollout_backend=backend),
+        env,
+    )
+    r_j, r_p = mk("jnp"), mk("pallas")
+    assert r_p._fused is not None and r_j._fused is None
+    r_j.run(episodes=2)
+    r_p.run(episodes=2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        r_j.trainer.state.policy.actor_params,
+        r_p.trainer.state.policy.actor_params,
+    )
