@@ -156,6 +156,33 @@ def cartpole_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
     return jax.jit(run)
 
 
+def balance_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
+    """Fused Balance Beam megakernel rollout (ops/balance_pallas): move +
+    history obs + reward + reset in one kernel; checksum consumes obs +
+    reward + done like the jnp path."""
+    from madrona_rl_envs_playground_tpu.ops.balance_pallas import fused_step
+
+    interp = jax.default_backend() != "tpu"
+
+    def body(carry, _):
+        loc, obs, time, rng_i, cnt, key = carry
+        key, sub = jax.random.split(key)
+        acts = jax.random.randint(sub, (2, num_envs), 0, 4, jnp.int32)
+        loc, obs, time, rng_i, rew, done, cnt = fused_step(
+            loc, obs, time, rng_i, cnt, acts, block=block, interpret=interp
+        )
+        chk = obs.sum() + rew.sum().astype(jnp.int32) + done.sum()
+        return (loc, obs, time, rng_i, cnt, key), chk
+
+    def run(carry, _out, key):
+        (loc, obs, time, rng_i, cnt, _), chks = lax.scan(
+            body, carry + (key,), None, length=num_steps
+        )
+        return (loc, obs, time, rng_i, cnt), None, chks.sum()
+
+    return jax.jit(run)
+
+
 def hanabi_pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     """Fused-megakernel hanabi rollout: mask-legal uniform sampling from the
     kernel-produced mask buffers, checksum consumption matching the jnp
@@ -204,6 +231,17 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
             return carry, None, hanabi_pallas_rollout_fn(
                 env, num_envs, num_steps, min(block, num_envs)
             )
+    if name == "balance" and backend != "jnp" and (
+        backend == "pallas" or on_tpu
+    ):
+        from madrona_rl_envs_playground_tpu.ops.balance_pallas import (
+            init_packed,
+        )
+
+        carry = init_packed(num_envs)
+        return carry, None, balance_pallas_rollout_fn(
+            num_envs, num_steps, min(max(block, 8192), num_envs)
+        )
     if name == "cartpole" and backend != "jnp" and (
         backend == "pallas" or on_tpu
     ):

@@ -60,6 +60,8 @@ def make_fused_collect(env, num_envs: int, *, block: int = 1024,
         return _overcooked_collect(env, num_envs, block, interpret)
     if kind == "hanabi":
         return _hanabi_collect(env, num_envs, block, interpret)
+    if kind == "balance_beam":
+        return _balance_collect(env, num_envs, block, interpret)
     return None
 
 
@@ -101,6 +103,45 @@ def _overcooked_collect(env, num_envs, block, interpret):
         ts, counter = carry
         return BatchState(env_states=ok.unpack_state(env, ts),
                           episode_counter=counter)
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack)
+
+
+# ---------------------------------------------------------------------------
+# Balance Beam
+# ---------------------------------------------------------------------------
+
+def _balance_collect(env, num_envs, block, interpret):
+    from ..ops import balance_pallas as bp
+
+    A = env.num_actions
+
+    def pack(bstate: BatchState):
+        return bp.pack_state(bstate.env_states) + (
+            bstate.episode_counter.astype(jnp.int32),)
+
+    def step(carry, actions: Array):
+        loc, obs, time, rng_i, counter = carry
+        loc, obs, time, rng_i, rew, done, counter = bp.fused_step(
+            loc, obs, time, rng_i, counter,
+            jnp.transpose(actions).astype(jnp.int32),
+            block=block, interpret=interpret,
+        )
+        obs_nm = jnp.transpose(obs).reshape(num_envs, 2, -1)
+        out = StepOutput(
+            obs=obs_nm,
+            state_obs=obs_nm,
+            action_mask=jnp.ones((num_envs, 2, A), jnp.bool_),
+            active=jnp.ones((num_envs, 2), jnp.bool_),
+            reward=jnp.broadcast_to(rew[:, None], (num_envs, 2)),
+            done=done,
+        )
+        return (loc, obs, time, rng_i, counter), out
+
+    def unpack(carry):
+        loc, obs, time, rng_i, counter = carry
+        return BatchState(env_states=bp.unpack_state(loc, obs, time, rng_i),
+                          episode_counter=counter.astype(jnp.uint32))
 
     return FusedCollect(pack=pack, step=step, unpack=unpack)
 
