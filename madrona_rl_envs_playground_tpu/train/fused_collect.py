@@ -62,6 +62,8 @@ def make_fused_collect(env, num_envs: int, *, block: int = 1024,
         return _hanabi_collect(env, num_envs, block, interpret)
     if kind == "balance_beam":
         return _balance_collect(env, num_envs, block, interpret)
+    if kind == "acrobot":
+        return _acrobot_collect(env, num_envs, block, interpret)
     return None
 
 
@@ -103,6 +105,43 @@ def _overcooked_collect(env, num_envs, block, interpret):
         ts, counter = carry
         return BatchState(env_states=ok.unpack_state(env, ts),
                           episode_counter=counter)
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack)
+
+
+# ---------------------------------------------------------------------------
+# Acrobot
+# ---------------------------------------------------------------------------
+
+def _acrobot_collect(env, num_envs, block, interpret):
+    from ..ops import acrobot_pallas as ap
+
+    def pack(bstate: BatchState):
+        return ap.pack_state(bstate.env_states) + (
+            bstate.episode_counter.astype(jnp.int32),)
+
+    def step(carry, actions: Array):
+        grid, steps, rng_i, counter = carry
+        grid, steps, rng_i, done, counter = ap.fused_step(
+            grid, steps, rng_i, counter,
+            jnp.transpose(actions).astype(jnp.int32),
+            block=block, interpret=interpret,
+        )
+        obs = jnp.transpose(grid)[:, None, :]           # [N, 1, 4]
+        out = StepOutput(
+            obs=obs,
+            state_obs=obs,
+            action_mask=jnp.ones((num_envs, 1, 3), jnp.bool_),
+            active=jnp.ones((num_envs, 1), jnp.bool_),
+            reward=jnp.full((num_envs, 1), -1.0, jnp.float32),
+            done=done,
+        )
+        return (grid, steps, rng_i, counter), out
+
+    def unpack(carry):
+        grid, steps, rng_i, counter = carry
+        return BatchState(env_states=ap.unpack_state(grid, steps, rng_i),
+                          episode_counter=counter.astype(jnp.uint32))
 
     return FusedCollect(pack=pack, step=step, unpack=unpack)
 

@@ -1,0 +1,69 @@
+"""Bit-exactness of the fused Acrobot megakernel vs the jnp path: RK4 state,
+steps/truncation, done, episode counter, and the TEA+LCG reset draws.
+Random-torque acrobot episodes run to the 500-step truncation, so the steps
+counters are pre-staggered near the limit to force many world-order
+allocations inside the test horizon."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madrona_rl_envs_playground_tpu.core.batch import batched_reset, batched_step
+from madrona_rl_envs_playground_tpu.envs import acrobot
+from madrona_rl_envs_playground_tpu.ops.acrobot_pallas import (
+    fused_step,
+    init_packed,
+    pack_state,
+    unpack_state,
+)
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def test_acrobot_kernel_matches_jnp():
+    env = acrobot.Env()
+    N = 64
+    bstate, out = batched_reset(env, N)
+    # stagger steps near the 500 truncation so resets happen densely
+    staggered = bstate.env_states.replace(
+        steps=(470 + jnp.arange(N, dtype=jnp.int32) % 40)
+    )
+    bstate = bstate.replace(env_states=staggered)
+    grid, steps, rng_i = pack_state(staggered)
+    counter = jnp.int32(N)
+
+    init = init_packed(N)
+    for got, want in zip(init[:2], pack_state(batched_reset(env, N)[0].env_states)[:2]):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(init[-1]) == N
+
+    step_jnp = jax.jit(batched_step, static_argnums=(0,))
+    step_pal = jax.jit(
+        lambda g, s, r, c, a: fused_step(g, s, r, c, a, block=16,
+                                         interpret=INTERP)
+    )
+    rs = np.random.RandomState(4)
+    saw_done = 0
+    for t in range(50):
+        actions = jnp.asarray(rs.randint(0, 3, size=(N, 1)), jnp.int32)
+        bstate, out = step_jnp(env, bstate, actions)
+        grid, steps, rng_i, done, counter = step_pal(
+            grid, steps, rng_i, counter, actions.T
+        )
+        saw_done += int(np.asarray(done).sum())
+        np.testing.assert_array_equal(
+            np.asarray(done), np.asarray(out.done), err_msg=f"t={t} done"
+        )
+        assert int(counter) == int(bstate.episode_counter), f"t={t} counter"
+        ref = bstate.env_states
+        got = unpack_state(grid, steps, rng_i)
+        for f in ("theta1", "theta2", "omega1", "omega2", "steps", "rng_v"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+                err_msg=f"t={t} state.{f}",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(grid).T[:, None, :], np.asarray(out.obs),
+            err_msg=f"t={t} obs",
+        )
+    assert saw_done >= N, "staggered truncations must reset every world"

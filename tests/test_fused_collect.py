@@ -19,7 +19,7 @@ import numpy as np
 import pytest
 
 from madrona_rl_envs_playground_tpu.core.batch import batched_reset, batched_step
-from madrona_rl_envs_playground_tpu.envs import balance_beam, hanabi, overcooked
+from madrona_rl_envs_playground_tpu.envs import acrobot, balance_beam, hanabi, overcooked
 from madrona_rl_envs_playground_tpu.train.fused_collect import make_fused_collect
 from madrona_rl_envs_playground_tpu.train.selfplay import SelfPlayConfig, SelfPlayPPO
 
@@ -54,12 +54,14 @@ def _legal_actions(rs, mask_np):
     return out
 
 
-@pytest.mark.parametrize("kind", ["overcooked", "hanabi", "balance"])
+@pytest.mark.parametrize("kind", ["overcooked", "hanabi", "balance", "acrobot"])
 def test_fused_collect_matches_batched_step(kind):
     if kind == "overcooked":
         env = overcooked.make("cramped_room", horizon=13)
     elif kind == "balance":
         env = balance_beam.Env()
+    elif kind == "acrobot":
+        env = acrobot.Env()
     else:
         env = hanabi.Env(**hanabi.CONFIGS["very_small"])
     fc = make_fused_collect(env, N, interpret=True)
