@@ -47,15 +47,30 @@ class FusedCollect:
 
 
 def make_fused_collect(env, num_envs: int, *, block: int = 1024,
-                       interpret: Optional[bool] = None) -> Optional[FusedCollect]:
+                       interpret: Optional[bool] = None,
+                       mesh=None) -> Optional[FusedCollect]:
     """Return the env's fused collector, or None when no kernel applies.
 
     ``interpret`` defaults to True off-TPU so the same code path is testable
     (and bit-diffable against ``batched_step``) on CPU.
+
+    With a ``mesh``, the kernel call is wrapped in ``jax.shard_map`` over the
+    env axis (``pallas_call`` does not SPMD-partition under pjit on its own).
+    Only Overcooked supports this: its resets are episode-index-free, so
+    per-device kernels stay bit-identical to the global run.  The other envs
+    allocate episode indices in world order ACROSS the batch inside the
+    kernel (SMEM running counter), which per-device kernels cannot reproduce
+    without knowing later devices' reset counts — they return None here and
+    mesh runs use the XLA-sharded jnp path instead.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kind = type(env).__module__.rsplit(".", 1)[-1]
+    if mesh is not None:
+        if kind != "overcooked_base":
+            return None
+        assert num_envs % mesh.size == 0, (num_envs, mesh.size)
+        return _overcooked_collect(env, num_envs, block, interpret, mesh)
     if kind == "overcooked_base":
         return _overcooked_collect(env, num_envs, block, interpret)
     if kind == "hanabi":
@@ -71,21 +86,41 @@ def make_fused_collect(env, num_envs: int, *, block: int = 1024,
 # Overcooked
 # ---------------------------------------------------------------------------
 
-def _overcooked_collect(env, num_envs, block, interpret):
+def _overcooked_collect(env, num_envs, block, interpret, mesh=None):
     from ..ops import overcooked_pallas as ok
 
     if not ok.fused_supported(env):
         return None
     P, A = env.num_players, env.num_actions
 
+    if mesh is None:
+        kernel_step = lambda ts, at: ok.fused_step(env, ts, at, block=block,
+                                                   interpret=interpret)
+    else:
+        from jax.sharding import PartitionSpec as PS
+
+        from ..parallel.mesh import ENV_AXIS
+
+        lanes = PS(None, ENV_AXIS)              # [rows, N] leaves
+        kernel_step = jax.shard_map(
+            lambda ts, at: ok.fused_step(env, ts, at,
+                                         block=min(block,
+                                                   num_envs // mesh.size),
+                                         interpret=interpret),
+            mesh=mesh,
+            in_specs=(lanes, lanes),            # prefix-broadcast over TState
+            out_specs=(lanes, PS(None, None, None, ENV_AXIS), lanes,
+                       PS(ENV_AXIS)),
+            check_vma=False,
+        )
+
     def pack(bstate: BatchState):
         return (ok.pack_state(env, bstate.env_states), bstate.episode_counter)
 
     def step(carry, actions: Array):
         ts, counter = carry
-        ts2, obs_k, rew, done = ok.fused_step(
-            env, ts, jnp.transpose(actions).astype(jnp.int32),
-            block=block, interpret=interpret,
+        ts2, obs_k, rew, done = kernel_step(
+            ts, jnp.transpose(actions).astype(jnp.int32)
         )
         obs = ok.to_env_major(env, obs_k)                     # [N, P, F] int8
         out = StepOutput(

@@ -154,15 +154,16 @@ class SelfPlayPPO:
             from ..parallel.mesh import put_selfplay_state
 
             self.state = put_selfplay_state(self.state, mesh)
-        # Fused megakernel collection (mesh path stays on jnp: pallas_call
-        # does not SPMD-partition under pjit without a shard_map wrapper).
+        # Fused megakernel collection.  On a mesh, the kernel is shard_map-ed
+        # over the env axis where exact (overcooked); other envs keep the
+        # XLA-sharded jnp path (see make_fused_collect).
         self._fused = None
-        if mesh is None and cfg.rollout_backend != "jnp":
+        if cfg.rollout_backend != "jnp":
             from .fused_collect import make_fused_collect
 
             on_tpu = jax.default_backend() == "tpu"
             if cfg.rollout_backend == "pallas" or on_tpu:
-                self._fused = make_fused_collect(env, num_envs)
+                self._fused = make_fused_collect(env, num_envs, mesh=mesh)
         # No donation: StepOutput.obs/state_obs may alias one buffer (envs
         # where state==obs), and donating an aliased pytree is an error.
         self.train_step = jax.jit(self._train_step)

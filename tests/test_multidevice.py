@@ -121,3 +121,32 @@ def test_mappo_episode_sharded_equals_single():
     jax.tree_util.tree_map(
         lambda x, y: np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-4), pa, pb
     )
+
+
+@need8
+def test_selfplay_fused_collect_sharded_equals_single():
+    """The shard_map-wrapped overcooked megakernel rollout on an 8-device
+    mesh must train identically (to reduction-order tolerance) to the
+    single-device fused trainer — overcooked resets are episode-index-free,
+    so the per-device kernels are exact (see make_fused_collect)."""
+    from madrona_rl_envs_playground_tpu.train import SelfPlayConfig, SelfPlayPPO
+
+    env = overcooked2.make("simple", horizon=10)
+    cfg = SelfPlayConfig(num_steps=8, hidden=32, num_layers=1, lr=1e-3,
+                         rollout_backend="pallas")
+    mesh = make_mesh(8)
+    a = SelfPlayPPO(env, num_envs=N, cfg=cfg, seed=3)
+    b = SelfPlayPPO(env, num_envs=N, cfg=cfg, seed=3, mesh=mesh)
+    assert a._fused is not None and b._fused is not None
+
+    for _ in range(2):
+        a.state, ma = a.train_step(a.state)
+        b.state, mb = b.train_step(b.state)
+    for k in ma:
+        np.testing.assert_allclose(
+            float(ma[k]), float(mb[k]), rtol=2e-3, atol=2e-3, err_msg=k
+        )
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-4),
+        jax.device_get(a.state["params"]), jax.device_get(b.state["params"]),
+    )
