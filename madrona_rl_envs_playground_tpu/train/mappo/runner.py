@@ -36,8 +36,10 @@ Array = jnp.ndarray
 
 
 class MAPPORunner:
-    def __init__(self, cfg: MAPPOConfig, env, run_dir: Optional[str] = None):
+    def __init__(self, cfg: MAPPOConfig, env, run_dir: Optional[str] = None,
+                 mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.env = env
         self.N = cfg.n_rollout_threads
         self.A = env.num_agents
@@ -54,6 +56,14 @@ class MAPPORunner:
 
         self._key = jax.random.PRNGKey(cfg.seed)
         self.bstate, self.out = batched_reset(env, self.N)
+        if mesh is not None:
+            # Shard the env batch over the mesh; XLA propagates the layout
+            # through the collect scan and derives the gradient all-reduce
+            # from the (replicated params, sharded batch) shardings.
+            from ...parallel.mesh import shard_batch_pytree
+
+            self.bstate = shard_batch_pytree(self.bstate, mesh)
+            self.out = shard_batch_pytree(self.out, mesh)
         mc = cfg.model_config()
         L = mc.recurrent_N
         H = mc.hidden_size if mc.use_recurrent_policy else 1
@@ -69,7 +79,7 @@ class MAPPORunner:
             from ..fused_collect import make_fused_collect
 
             if cfg.rollout_backend == "pallas" or jax.default_backend() == "tpu":
-                self._fused = make_fused_collect(env, self.N)
+                self._fused = make_fused_collect(env, self.N, mesh=mesh)
 
         self._collect = jax.jit(self._collect_impl)
         self._compute = jax.jit(self._compute_impl)

@@ -52,6 +52,10 @@ def main():
     p.add_argument("--ent-coef", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--log-every", type=int, default=1)
+    p.add_argument("--rollout-backend", default="auto",
+                   choices=["auto", "pallas", "jnp"],
+                   help="rollout collection: fused megakernel (default-on "
+                        "on TPU where the env has one) or the jnp scan")
     args = p.parse_args()
 
     from madrona_rl_envs_playground_tpu.train import SelfPlayConfig, SelfPlayPPO
@@ -61,6 +65,7 @@ def main():
         num_steps=args.num_steps, lr=args.lr, hidden=args.hidden,
         num_layers=args.layers, update_epochs=args.epochs, ent_coef=args.ent_coef,
         num_minibatches=args.num_minibatches, use_bf16=args.bf16,
+        rollout_backend=args.rollout_backend,
     )
     trainer = SelfPlayPPO(env, num_envs=args.num_envs, cfg=cfg, seed=args.seed)
     t0 = time.time()

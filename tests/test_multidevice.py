@@ -150,3 +150,33 @@ def test_selfplay_fused_collect_sharded_equals_single():
         lambda x, y: np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-4),
         jax.device_get(a.state["params"]), jax.device_get(b.state["params"]),
     )
+
+
+@need8
+def test_mappo_fused_collect_sharded_equals_single():
+    """MAPPORunner(mesh=...) with the pallas rollout backend must train
+    identically (to tolerance) to the single-device fused runner — same
+    shard_map overcooked-kernel argument as the selfplay test above."""
+    from madrona_rl_envs_playground_tpu.train.mappo import MAPPOConfig, MAPPORunner
+
+    env = overcooked2.make("simple", horizon=20)
+    cfg = MAPPOConfig(
+        episode_length=6, n_rollout_threads=N, hidden_size=32, layer_N=1,
+        ppo_epoch=2, num_mini_batch=2, lr=1e-3, critic_lr=1e-3, seed=11,
+        rollout_backend="pallas",
+    )
+    mesh = make_mesh(8)
+    a = MAPPORunner(cfg, env)
+    b = MAPPORunner(cfg, env, mesh=mesh)
+    assert a._fused is not None and b._fused is not None
+    ia = a.run(episodes=1)
+    ib = b.run(episodes=1)
+    for k in ia:
+        np.testing.assert_allclose(
+            float(ia[k]), float(ib[k]), rtol=2e-3, atol=2e-3, err_msg=k
+        )
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=5e-3, atol=5e-4),
+        jax.device_get(a.trainer.state.policy.actor_params),
+        jax.device_get(b.trainer.state.policy.actor_params),
+    )
