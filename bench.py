@@ -156,6 +156,27 @@ def cartpole_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
     return jax.jit(run)
 
 
+def cartpole_persistent_rollout_fn(num_envs: int, num_steps: int):
+    """Whole-rollout-in-one-kernel cartpole (ops/cartpole_pallas
+    ``fused_rollout``): T steps per launch, state resident in VMEM, actions
+    drawn in-kernel from a per-env LCG (the uniform random-action discipline
+    of the reference's isolated bench, generated on-device — README's
+    methodology table labels this column).  The kernel emits the done count
+    and an obs checksum, consumed like the per-step paths' checksums."""
+    from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import fused_rollout
+
+    interp = jax.default_backend() != "tpu"
+
+    def run(carry, _out, key):
+        grid, rng_i, arng, cnt = carry
+        grid, rng_i, arng, cnt, dcnt, chk = fused_rollout(
+            grid, rng_i, arng, cnt, num_steps, interpret=interp
+        )
+        return (grid, rng_i, arng, cnt), None, chk + dcnt.astype(jnp.float32)
+
+    return jax.jit(run)
+
+
 def balance_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
     """Fused Balance Beam megakernel rollout (ops/balance_pallas): move +
     history obs + reward + reset in one kernel; checksum consumes obs +
@@ -242,6 +263,25 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
         return carry, None, balance_pallas_rollout_fn(
             num_envs, num_steps, min(max(block, 8192), num_envs)
         )
+    if name == "cartpole" and backend == "persistent":
+        from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
+            init_action_rng,
+            init_packed,
+            persistent_supported,
+        )
+
+        if not persistent_supported(num_envs):
+            from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
+                PERSISTENT_MAX_ENVS,
+            )
+
+            raise SystemExit(
+                f"--backend persistent holds all state in one VMEM block; "
+                f"max envs {PERSISTENT_MAX_ENVS}, got {num_envs}"
+            )
+        g0, r0, c0 = init_packed(num_envs)
+        carry = (g0, r0, init_action_rng(num_envs), c0)
+        return carry, None, cartpole_persistent_rollout_fn(num_envs, num_steps)
     if name == "cartpole" and backend != "jnp" and (
         backend == "pallas" or on_tpu
     ):
@@ -288,9 +328,10 @@ def main():
     p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "jnp", "pallas"],
-                   help="step implementation for overcooked envs; auto = "
-                   "pallas megakernel on TPU, jnp elsewhere")
+                   choices=["auto", "jnp", "pallas", "persistent"],
+                   help="step implementation; auto = per-step pallas "
+                   "megakernel on TPU, jnp elsewhere; persistent (cartpole) "
+                   "= whole rollout in one kernel, in-kernel action LCG")
     p.add_argument("--block", type=int, default=1024,
                    help="pallas megakernel env-block (lanes per grid step)")
     p.add_argument("--profile", default=None,

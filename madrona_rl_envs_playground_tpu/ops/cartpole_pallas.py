@@ -214,3 +214,189 @@ def init_packed(num_envs: int, start_episode: int = 0):
     st = jax.vmap(env.init_core)(eps)
     grid, rng_i = pack_state(st)
     return grid, rng_i, jnp.int32(start_episode + num_envs)
+
+
+# ---------------------------------------------------------------------------
+# persistent-rollout kernel: T steps in ONE launch, state resident in VMEM
+# ---------------------------------------------------------------------------
+#
+# The per-step megakernel above is HBM-bound end to end: every step reads and
+# writes the full 24 B/env state plus a threefry action vector — ~9% of the
+# v5e HBM roofline at 1M envs, and launch/scan fixed cost dominates at 65k
+# (ROADMAP r2).  This kernel is the TPU analog of Madrona's *persistent*
+# megakernel idea taken one step further than the reference can: the whole
+# T-step rollout runs inside one kernel, so the state never leaves VMEM and
+# HBM sees exactly one read + one write of 24 B/env for the entire rollout.
+# Actions are drawn in-kernel from a dedicated per-env LCG stream (the
+# reference's isolated bench also generates uniform random actions inside the
+# timed region, `scripts/cartpole_isolated_example.py`; only the generator
+# differs — documented in README's methodology column).
+#
+# Episode-counter order: world order per step is a lane-order prefix sum, so
+# the global allocation matches the jnp path only when the batch is a single
+# block.  The kernel therefore REQUIRES block == num_envs (VMEM caps this at
+# 65536 envs; larger batches stay on the per-step kernel) and is bit-exact vs
+# a jnp `batched_step` loop fed the same LCG action stream
+# (tests/test_cartpole_pallas.py).
+
+
+def _build_rollout_kernel(block: int, num_steps: int):
+    B = block
+    f32 = jnp.float32
+    srl = lax.shift_right_logical
+
+    def kernel(cnt_ref, st_ref, rng_ref, arng_ref,
+               st_o, rng_o, arng_o, done_cnt_o, cnt_o, chk_o):
+        lane = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+        def body(_, carry):
+            x, xd, th, thd, v, w, base, dcnt, chk = carry
+
+            # in-kernel uniform action: advance the action LCG, take the top
+            # bit of the 24-bit uniform field (p=0.5 each, like randint(0,2))
+            w2 = _lcg_next(w)
+            a = srl(w2, 23) & 1
+
+            force = jnp.where(a == 1, f32(10.0), f32(-10.0))
+            costh = jnp.cos(th)
+            sinth = jnp.sin(th)
+            temp = (force + f32(0.05) * thd * thd * sinth) / f32(1.1)
+            thacc = (f32(9.8) * sinth - costh * temp) / (
+                f32(0.5) * (f32(4.0 / 3.0) - f32(0.1) * costh * costh / f32(1.1))
+            )
+            xacc = temp - f32(0.05) * thacc * costh / f32(1.1)
+            x2 = x + f32(0.02) * xd
+            xd2 = xd + f32(0.02) * xacc
+            th2 = th + f32(0.02) * thd
+            thd2 = thd + f32(0.02) * thacc
+
+            done = (
+                (x2 < f32(-X_THRESHOLD)) | (x2 > f32(X_THRESHOLD))
+                | (th2 < f32(-THETA_THRESHOLD)) | (th2 > f32(THETA_THRESHOLD))
+            )
+            d32 = done.astype(jnp.int32)
+
+            ps = d32
+            k = 1
+            while k < B:
+                ps = ps + jnp.where(lane >= k, pltpu.roll(ps, shift=k, axis=1), 0)
+                k *= 2
+            eps = base + (ps - d32)
+            base = base + jnp.sum(d32, axis=1, keepdims=True)
+
+            s = _tea_seed(eps)
+            lo, rng_w = f32(-0.05), f32(0.1)
+            v1 = _lcg_next(s)
+            v2 = _lcg_next(v1)
+            v3 = _lcg_next(v2)
+            v4 = _lcg_next(v3)
+
+            x3 = jnp.where(done, lo + _unif(v1) * rng_w, x2)
+            xd3 = jnp.where(done, lo + _unif(v2) * rng_w, xd2)
+            th3 = jnp.where(done, lo + _unif(v3) * rng_w, th2)
+            thd3 = jnp.where(done, lo + _unif(v4) * rng_w, thd2)
+            v5 = jnp.where(done, v4, v)
+
+            # per-step output consumption (bench checksum discipline): the
+            # exported obs IS the state, so fold x + done into accumulators
+            dcnt = dcnt + jnp.sum(d32, axis=1, keepdims=True)
+            chk = chk + jnp.sum(x3, axis=1, keepdims=True)
+            return (x3, xd3, th3, thd3, v5, w2, base, dcnt, chk)
+
+        init = (
+            st_ref[0:1], st_ref[1:2], st_ref[2:3], st_ref[3:4],
+            rng_ref[:], arng_ref[:],
+            jnp.full((1, 1), cnt_ref[0, 0], jnp.int32),
+            jnp.zeros((1, 1), jnp.int32),
+            jnp.zeros((1, 1), jnp.float32),
+        )
+        x, xd, th, thd, v, w, base, dcnt, chk = lax.fori_loop(
+            0, num_steps, body, init
+        )
+        st_o[0:1], st_o[1:2], st_o[2:3], st_o[3:4] = x, xd, th, thd
+        rng_o[:] = v
+        arng_o[:] = w
+        done_cnt_o[0, 0] = dcnt[0, 0]
+        cnt_o[0, 0] = base[0, 0]
+        chk_o[0, 0] = chk[0, 0]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_rollout(num_envs: int, num_steps: int, interpret: bool):
+    kernel = _build_rollout_kernel(num_envs, num_steps)
+    rows = lambda r: pl.BlockSpec((r, num_envs), lambda: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    smem11 = pl.BlockSpec((1, 1), lambda: (0, 0), memory_space=pltpu.SMEM)
+    sds = jax.ShapeDtypeStruct
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[smem11, rows(4), rows(1), rows(1)],
+        out_specs=(rows(4), rows(1), rows(1), smem11, smem11, smem11),
+        out_shape=(
+            sds((4, num_envs), jnp.float32),
+            sds((1, num_envs), jnp.int32),
+            sds((1, num_envs), jnp.int32),
+            sds((1, 1), jnp.int32),
+            sds((1, 1), jnp.int32),
+            sds((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    def rollout(grid_st, rng_i, act_rng, counter):
+        st, rng2, arng2, dcnt, cnt, chk = call(
+            counter.reshape(1, 1).astype(jnp.int32), grid_st, rng_i, act_rng
+        )
+        return st, rng2, arng2, cnt[0, 0], dcnt[0, 0], chk[0, 0]
+
+    return rollout
+
+
+# the six persistent state rows (x, xd, th, thd, env rng, action rng) must
+# fit one VMEM block alongside compiler temporaries; measured on the v5e:
+# 131072 envs needs a 22.9 MB scoped stack vs the 16 MB/core limit, 65536
+# compiles and runs.  Measured crossover (bench.py, T=1000): the persistent
+# kernel wins below ~32k envs where per-launch fixed cost dominates (200M vs
+# 178M @8k, 314M vs 264M @16k) and LOSES to the per-step megakernel at 32k+
+# (449M vs 583M @32k, 910M vs 978M @65k — the single [1,N] block serializes
+# work the multi-block grid overlaps), so bench.py keeps it opt-in
+# (`--backend persistent`) rather than part of `auto`.
+PERSISTENT_MAX_ENVS = 65_536
+
+
+def persistent_supported(num_envs: int) -> bool:
+    return num_envs <= PERSISTENT_MAX_ENVS
+
+
+def fused_rollout(grid_st: Array, rng_i: Array, act_rng: Array, counter,
+                  num_steps: int, interpret: bool = False):
+    """T fused cartpole steps in ONE kernel launch (single VMEM block).
+
+    Returns (state' [4,N], rng' [1,N], act_rng' [1,N], counter',
+    done_count, checksum).  Requires ``persistent_supported(N)``.
+    """
+    N = grid_st.shape[-1]
+    if not persistent_supported(N):
+        raise ValueError(
+            f"persistent rollout holds all state in one VMEM block; "
+            f"{N} envs > {PERSISTENT_MAX_ENVS}"
+        )
+    return _compiled_rollout(N, num_steps, interpret)(
+        grid_st, rng_i, act_rng, counter
+    )
+
+
+def action_lcg_next(w: Array):
+    """The in-kernel action stream, exposed for differential tests:
+    w' = lcg(w); action = bit 23 of w' (top of the 24-bit uniform field)."""
+    w2 = _lcg_next(w)
+    return w2, (lax.shift_right_logical(w2, 23) & 1).astype(jnp.int32)
+
+
+def init_action_rng(num_envs: int, seed: int = 0):
+    """Per-env action-LCG seeds: TEA over a stream distinct from the episode
+    stream (xor tag keeps it disjoint from any episode index)."""
+    idx = jnp.arange(num_envs, dtype=jnp.int32) + jnp.int32(seed * num_envs)
+    return _tea_seed(idx ^ _i32(0x5A17B0B5))[None, :]

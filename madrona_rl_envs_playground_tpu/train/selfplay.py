@@ -233,9 +233,14 @@ class SelfPlayPPO:
             flatM(tr["reward"]), flatM(tr["active"]), flatM(done_m)
         )
 
+        # obs/state stay in the env's native dtype (int8 for the grid envs):
+        # the cast to compute dtype happens per-minibatch inside mb_loss.
+        # Materializing f32 copies here would 4x the HBM traffic of both the
+        # collect writes and every PPO-epoch read — measured ~2x end-to-end
+        # train_step time at 8k envs on v5e.
         buf = Rollout(
-            obs=flatM(tr["obs"]).astype(jnp.float32),
-            states=flatM(tr["state_obs"]).astype(jnp.float32),
+            obs=flatM(tr["obs"]),
+            states=flatM(tr["state_obs"]),
             actions=flatM(tr["action"]),
             action_masks=flatM(tr["mask"]),
             logprobs=flatM(tr["logp"]),
@@ -291,7 +296,10 @@ class SelfPlayPPO:
              c_returns, c_values, c_active) = chunk
             n_act = jnp.maximum(c_active.sum(), 1.0)
             mmean = lambda x: (x * c_active).sum() / n_act
-            logits, newvalue = self.net.apply(p, c_obs, c_states, c_masks)
+            logits, newvalue = self.net.apply(
+                p, c_obs.astype(jnp.float32), c_states.astype(jnp.float32),
+                c_masks,
+            )
             newlogprob = dist_log_prob(logits, c_actions)
             entropy = dist_entropy(logits)
             logratio = newlogprob - c_logprobs

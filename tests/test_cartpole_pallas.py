@@ -10,7 +10,10 @@ import numpy as np
 from madrona_rl_envs_playground_tpu.core.batch import batched_reset, batched_step
 from madrona_rl_envs_playground_tpu.envs import cartpole
 from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
+    action_lcg_next,
+    fused_rollout,
     fused_step,
+    init_action_rng,
     init_packed,
     pack_state,
     unpack_state,
@@ -21,7 +24,9 @@ INTERP = jax.default_backend() != "tpu"
 
 def test_cartpole_kernel_matches_jnp():
     env = cartpole.Env()
-    N = 64
+    # Mosaic requires the lane block to be %128 (or == N); interpret mode has
+    # no such constraint, so CPU keeps the small multi-block shape cheap.
+    N, BLOCK = (64, 16) if INTERP else (256, 128)
     bstate, out = batched_reset(env, N)
     grid, rng_i = pack_state(bstate.env_states)
     counter = jnp.int32(N)
@@ -33,7 +38,7 @@ def test_cartpole_kernel_matches_jnp():
 
     step_jnp = jax.jit(batched_step, static_argnums=(0,))
     step_pal = jax.jit(
-        lambda g, r, c, a: fused_step(g, r, c, a, block=16, interpret=INTERP)
+        lambda g, r, c, a: fused_step(g, r, c, a, block=BLOCK, interpret=INTERP)
     )
     rs = np.random.RandomState(0)
     saw_done = 0
@@ -58,3 +63,43 @@ def test_cartpole_kernel_matches_jnp():
             np.asarray(grid).T[:, None, :], np.asarray(out.obs), err_msg=f"t={t} obs"
         )
     assert saw_done > N, "random cartpole must reset many times in 60 steps"
+
+
+def test_cartpole_persistent_rollout_matches_jnp():
+    """The T-steps-in-one-launch kernel: final state, rng, episode counter,
+    done count, and checksum must match a jnp ``batched_step`` loop fed the
+    SAME in-kernel LCG action stream (block == N, so the world-order counter
+    allocation coincides with the jnp cumsum order)."""
+    env = cartpole.Env()
+    N, T = 64, 70
+    bstate, out = batched_reset(env, N)
+    grid0, rng0, c0 = init_packed(N)
+    arng0 = init_action_rng(N, seed=0)
+
+    roll = jax.jit(lambda g, r, w, c: fused_rollout(g, r, w, c, T,
+                                                    interpret=INTERP))
+    grid, rng_i, arng, counter, dcnt, chk = roll(grid0, rng0, arng0, c0)
+
+    # jnp reference driven by the identical action stream
+    step_jnp = jax.jit(batched_step, static_argnums=(0,))
+    w = arng0
+    dtot, chk_ref = 0, 0.0
+    for t in range(T):
+        w, a = action_lcg_next(w)
+        bstate, out = step_jnp(env, bstate, a.T)
+        dtot += int(np.asarray(out.done).sum())
+        chk_ref += float(np.asarray(bstate.env_states.x).sum())
+
+    assert int(counter) == int(bstate.episode_counter)
+    assert int(dcnt) == dtot
+    ref = bstate.env_states
+    got = unpack_state(grid, rng_i)
+    for f in ("x", "x_dot", "theta", "theta_dot", "rng_v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+            err_msg=f"state.{f}",
+        )
+    np.testing.assert_array_equal(np.asarray(arng), np.asarray(w))
+    # chk is an f32 in-kernel accumulation; the reference accumulates in f64
+    # (and sums of signed x can sit near zero, so give it an absolute floor)
+    np.testing.assert_allclose(float(chk), chk_ref, rtol=1e-4, atol=1e-2)
