@@ -11,10 +11,12 @@ moves of the active seat in-graph.  All outputs are consumed via checksum so
 nothing is dead-code-eliminated.  Timing covers all repeats under one final
 sync (robust to async dispatch).
 
-``vs_baseline`` compares against the reference's Madrona GPU number for the
-same env/batch class (``BASELINE.md``): Overcooked cramped_room 10k envs on
-an A40 = 13.7M steps/s (``src/overcooked_env/README.org:105``), Hanabi 10k =
-7.04M, Cartpole 10k = 175M, Balance 10k = 36.5M, Overcooked2 10k = 19.1M.
+``vs_baseline`` compares against the reference's **best** Madrona GPU number
+across all of its published batch sizes (``BASELINE.md``) — the A40 at its
+own peak scale, so the ratio never flatters us by picking a weak reference
+row: Overcooked cramped_room 14.1M steps/s (@100k envs,
+``src/overcooked_env/README.org:105``), Overcooked2 19.1M (@10k), Hanabi
+15.7M (@100k), Cartpole 1.37B (@1M), Balance 399M (@1M).
 """
 
 from __future__ import annotations
@@ -29,12 +31,15 @@ from jax import lax
 
 from madrona_rl_envs_playground_tpu.core.batch import Simulator, batched_step
 
+# the reference's best A40 number over all its published batch sizes
+# (BASELINE.md: overcooked @100k, overcooked2 @10k, hanabi @100k,
+# cartpole @1M, balance @1M)
 REFERENCE_GPU = {
-    "overcooked": 13_700_000.0,
+    "overcooked": 14_100_000.0,
     "overcooked2": 19_100_000.0,
-    "hanabi": 7_040_000.0,
-    "cartpole": 175_000_000.0,
-    "balance": 36_500_000.0,
+    "hanabi": 15_700_000.0,
+    "cartpole": 1_370_000_000.0,
+    "balance": 399_000_000.0,
 }
 
 
@@ -324,7 +329,9 @@ def main():
     p.add_argument("--layout", default=None,
                    help="layout (overcooked*) or config name (hanabi)")
     p.add_argument("--num-players", type=int, default=None)
-    p.add_argument("--num-envs", type=int, default=8192)
+    # default = the overcooked megakernel's measured peak scale (192M
+    # steps/s @131k on the v5e; see README's table for the full sweep)
+    p.add_argument("--num-envs", type=int, default=131072)
     p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--backend", default="auto",
