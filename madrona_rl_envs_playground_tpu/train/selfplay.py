@@ -203,16 +203,22 @@ class SelfPlayPPO:
             key, ak = jax.random.split(key)
             action, logp, value = self._policy(state["params"], ak, out)
             ecarry2, out2 = env_step(ecarry, action)
+            # store every slice flattened to [N*P, ...]: stacked buffers are
+            # then [T, N*P, feat], which tiles cleanly on TPU.  Keeping the
+            # seat axis separate puts (P, feat) in the tiled minor dims and
+            # pads int8 obs 2.5x / f32 [N, P=2] rows 64x — at 32k envs that
+            # alone OOMs the 16G HBM (s8[64,32768,2,520] padded 2.03G->5G).
+            M_ = N * P
             ys = {
-                "obs": out.obs,
-                "state_obs": out.state_obs,
-                "mask": out.action_mask,
-                "active": out.active,
-                "action": action,
-                "logp": logp,
-                "value": value,
-                "reward": out2.reward.astype(jnp.float32),
-                "done": out2.done,
+                "obs": out.obs.reshape(M_, -1),
+                "state_obs": out.state_obs.reshape(M_, -1),
+                "mask": out.action_mask.reshape(M_, -1),
+                "active": out.active.reshape(M_),
+                "action": action.reshape(M_),
+                "logp": logp.reshape(M_),
+                "value": value.reshape(M_),
+                "reward": out2.reward.astype(jnp.float32).reshape(M_),
+                "done": jnp.repeat(out2.done[:, None], P, 1).reshape(M_),
             }
             return (ecarry2, out2, key), ys
 
@@ -226,11 +232,9 @@ class SelfPlayPPO:
 
         T = cfg.num_steps
         M = N * P
-        flatM = lambda x: x.reshape((T, M) + x.shape[3:])
-        done_m = jnp.repeat(tr["done"][:, :, None], P, axis=2)  # [T, N, P]
 
         credited, slot_dones = credit_rewards(
-            flatM(tr["reward"]), flatM(tr["active"]), flatM(done_m)
+            tr["reward"], tr["active"], tr["done"]
         )
 
         # obs/state stay in the env's native dtype (int8 for the grid envs):
@@ -239,15 +243,15 @@ class SelfPlayPPO:
         # collect writes and every PPO-epoch read — measured ~2x end-to-end
         # train_step time at 8k envs on v5e.
         buf = Rollout(
-            obs=flatM(tr["obs"]),
-            states=flatM(tr["state_obs"]),
-            actions=flatM(tr["action"]),
-            action_masks=flatM(tr["mask"]),
-            logprobs=flatM(tr["logp"]),
+            obs=tr["obs"],
+            states=tr["state_obs"],
+            actions=tr["action"],
+            action_masks=tr["mask"],
+            logprobs=tr["logp"],
             rewards=credited,
             dones=slot_dones,
-            active=flatM(tr["active"]),
-            values=flatM(tr["value"]),
+            active=tr["active"],
+            values=tr["value"],
         )
 
         # Bootstrap values from the post-rollout observation.

@@ -6,6 +6,8 @@ import argparse
 import sys
 import time
 
+import jax
+
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
@@ -68,11 +70,20 @@ def main():
         rollout_backend=args.rollout_backend,
     )
     trainer = SelfPlayPPO(env, num_envs=args.num_envs, cfg=cfg, seed=args.seed)
+    # one untimed update first: the remote-TPU compile of the fused
+    # train_step is ~20-90s and would otherwise dominate the steps/s figure
+    # sync barrier = a device->host VALUE fetch: through the remote tunnel,
+    # block_until_ready can return before the executable finishes; reading a
+    # scalar that depends on the whole update chain is the only trustworthy
+    # fence (updates are sequentially dependent, so one leaf syncs them all)
+    sync = lambda m: float(jax.tree_util.tree_leaves(m)[0])
+    sync(trainer.run(1, log_every=0))
     t0 = time.time()
-    trainer.run(args.updates, log_every=args.log_every)
+    sync(trainer.run(args.updates, log_every=args.log_every))
     dt = time.time() - t0
     steps = args.updates * args.num_steps * args.num_envs
-    print(f"total: {steps:,} env-steps in {dt:.1f}s -> {steps / dt:,.0f} steps/s")
+    print(f"total: {steps:,} env-steps in {dt:.1f}s -> {steps / dt:,.0f} steps/s "
+          f"(steady-state; 1 warmup update excluded)")
 
 
 if __name__ == "__main__":
