@@ -1,15 +1,22 @@
 """Shared replay buffer for MAPPO (device pytree + host wrapper).
 
-Layout parity with the reference ``SharedReplayBuffer``
-(``train/MAPPO/utils/shared_buffer.py:24-148``): time-major arrays over
-(episode_length[+1], n_rollout_threads, num_agents, ...), both ``insert``
-(simultaneous envs: next obs goes to slot t+1) and ``chooseinsert``
-(turn-based: obs goes to slot t) write modes, ``after_update`` carry-over of
-the final slot, and GAE ``compute_returns`` with masks/bad_masks and optional
-value-normalizer denormalization (``:176-233``).
+Semantic parity with the reference ``SharedReplayBuffer``
+(``train/MAPPO/utils/shared_buffer.py:24-148``): time-major arrays, both
+``insert`` (simultaneous envs: next obs goes to slot t+1) and
+``chooseinsert`` (turn-based: obs goes to slot t) write modes,
+``after_update`` carry-over of the final slot, and GAE ``compute_returns``
+with masks/bad_masks and optional value-normalizer denormalization
+(``:176-233``).
 
-Scalar fields drop the reference's trailing dim-1 (rewards [T,N,A] not
-[T,N,A,1]).
+Physical layout diverges from the reference's ``[T, N, A, ...]`` numpy on
+purpose: the thread and agent axes are stored MERGED as ``M = N * A``
+(``[T+1, M, feat]``).  TPU tiles the two minor dims of every array; with a
+separate agent axis, A=2 lands in the tiled dims and pads f32 ``[T+1, N, 2]``
+mask/value buffers 64x (2 -> 128 lanes) and int8 obs buffers 2.5x — at 8k
+envs that padding alone is ~8 GB of HBM.  Every consumer flattens (N, A)
+before use anyway (reference ``shared_buffer.py:393-502`` generators do the
+same reshape), so the merged form is the natural storage.  Scalar fields
+also drop the reference's trailing dim-1 (rewards [T, M] not [T,N,A,1]).
 """
 
 from __future__ import annotations
@@ -27,19 +34,19 @@ Array = jnp.ndarray
 
 @chex.dataclass(frozen=True)
 class MAPPOBuffer:
-    share_obs: Array          # [T+1, N, A, S]
-    obs: Array                # [T+1, N, A, O]
-    rnn_states: Array         # [T+1, N, A, L, H]
-    rnn_states_critic: Array  # [T+1, N, A, L, H]
-    value_preds: Array        # [T+1, N, A]
-    returns: Array            # [T+1, N, A]
-    available_actions: Array  # [T+1, N, A, Act]
-    actions: Array            # [T, N, A] int32
-    action_log_probs: Array   # [T, N, A]
-    rewards: Array            # [T, N, A]
-    masks: Array              # [T+1, N, A]  (0 => episode boundary before t)
-    bad_masks: Array          # [T+1, N, A]
-    active_masks: Array       # [T+1, N, A]
+    share_obs: Array          # [T+1, M, S]      (M = N * A, thread-major)
+    obs: Array                # [T+1, M, O]
+    rnn_states: Array         # [T+1, M, L, H]
+    rnn_states_critic: Array  # [T+1, M, L, H]
+    value_preds: Array        # [T+1, M]
+    returns: Array            # [T+1, M]
+    available_actions: Array  # [T+1, M, Act]
+    actions: Array            # [T, M] int32
+    action_log_probs: Array   # [T, M]
+    rewards: Array            # [T, M]
+    masks: Array              # [T+1, M]  (0 => episode boundary before t)
+    bad_masks: Array          # [T+1, M]
+    active_masks: Array       # [T+1, M]
 
 
 def init_buffer(episode_length: int, n_rollout_threads: int, num_agents: int,
@@ -48,24 +55,28 @@ def init_buffer(episode_length: int, n_rollout_threads: int, num_agents: int,
                 obs_dtype=jnp.float32) -> MAPPOBuffer:
     """obs/share_obs may be stored in the env's native dtype (int8 for the
     grid/bit-vector envs) — the network bases cast to f32 at their input, and
-    the 4x smaller buffer is what makes 8k-env episode buffers fit in HBM."""
-    T, N, A = episode_length, n_rollout_threads, num_agents
+    the 4x smaller buffer is what makes 8k-env episode buffers fit in HBM.
+
+    Values for slots are expected flattened to M = n_rollout_threads *
+    num_agents, thread-major (the (N, A) reshape order)."""
+    T = episode_length
+    M = n_rollout_threads * num_agents
     L, H = recurrent_N, hidden_size
     z = jnp.zeros
     return MAPPOBuffer(
-        share_obs=z((T + 1, N, A, share_obs_size), obs_dtype),
-        obs=z((T + 1, N, A, obs_size), obs_dtype),
-        rnn_states=z((T + 1, N, A, L, H), jnp.float32),
-        rnn_states_critic=z((T + 1, N, A, L, H), jnp.float32),
-        value_preds=z((T + 1, N, A), jnp.float32),
-        returns=z((T + 1, N, A), jnp.float32),
-        available_actions=jnp.ones((T + 1, N, A, num_actions), jnp.bool_),
-        actions=z((T, N, A), jnp.int32),
-        action_log_probs=z((T, N, A), jnp.float32),
-        rewards=z((T, N, A), jnp.float32),
-        masks=jnp.ones((T + 1, N, A), jnp.float32),
-        bad_masks=jnp.ones((T + 1, N, A), jnp.float32),
-        active_masks=jnp.ones((T + 1, N, A), jnp.float32),
+        share_obs=z((T + 1, M, share_obs_size), obs_dtype),
+        obs=z((T + 1, M, obs_size), obs_dtype),
+        rnn_states=z((T + 1, M, L, H), jnp.float32),
+        rnn_states_critic=z((T + 1, M, L, H), jnp.float32),
+        value_preds=z((T + 1, M), jnp.float32),
+        returns=z((T + 1, M), jnp.float32),
+        available_actions=jnp.ones((T + 1, M, num_actions), jnp.bool_),
+        actions=z((T, M), jnp.int32),
+        action_log_probs=z((T, M), jnp.float32),
+        rewards=z((T, M), jnp.float32),
+        masks=jnp.ones((T + 1, M), jnp.float32),
+        bad_masks=jnp.ones((T + 1, M), jnp.float32),
+        active_masks=jnp.ones((T + 1, M), jnp.float32),
     )
 
 
@@ -73,7 +84,8 @@ def insert(buf: MAPPOBuffer, step: Array, share_obs, obs, rnn_states,
            rnn_states_critic, actions, action_log_probs, value_preds, rewards,
            masks, bad_masks=None, active_masks=None,
            available_actions=None) -> MAPPOBuffer:
-    """Simultaneous-env insert (reference ``shared_buffer.py:80-114``)."""
+    """Simultaneous-env insert (reference ``shared_buffer.py:80-114``).
+    Slot values are [M, ...] (threads x agents flattened thread-major)."""
     rep = dict(
         share_obs=buf.share_obs.at[step + 1].set(share_obs),
         obs=buf.obs.at[step + 1].set(obs),
@@ -99,7 +111,8 @@ def chooseinsert(buf: MAPPOBuffer, step: Array, share_obs, obs, rnn_states,
                  rewards, masks, bad_masks=None, active_masks=None,
                  available_actions=None) -> MAPPOBuffer:
     """Turn-based insert (reference ``shared_buffer.py:116-148``): current
-    obs/active/available land at slot t, rnn/masks at t+1."""
+    obs/active/available land at slot t, rnn/masks at t+1.  Slot values are
+    [M, ...] (threads x agents flattened thread-major)."""
     rep = dict(
         share_obs=buf.share_obs.at[step].set(share_obs),
         obs=buf.obs.at[step].set(obs),

@@ -141,7 +141,7 @@ class MAPPORunner:
         next_value = self.policy.get_values(tstate.policy, sobs, rnnc, masks)
         vn = tstate.vn if (self.cfg.use_popart or self.cfg.use_valuenorm) else None
         return compute_returns(
-            buf, next_value.reshape(self.N, self.A), vn,
+            buf, next_value.reshape(B), vn,
             self.cfg.gamma, self.cfg.gae_lambda, self.cfg.use_gae,
             self.cfg.use_proper_time_limits,
         )
@@ -159,27 +159,28 @@ class MAPPORunner:
             self.env.num_actions, mc.recurrent_N, rnn_h,
             obs_dtype=self.env.obs_dtype,
         )
-        r = lambda x: x.reshape((T, N, A) + x.shape[2:])
+        # the collect scan already emits [T, M, ...] (M = N * A) — the same
+        # merged layout the buffer stores, so the fill is copy-shaped
         return buf.replace(
-            share_obs=buf.share_obs.at[:-1].set(r(tr["share_obs"])),
-            obs=buf.obs.at[:-1].set(r(tr["obs"])),
-            rnn_states=buf.rnn_states.at[:-1].set(r(tr["rnn"])),
-            rnn_states_critic=buf.rnn_states_critic.at[:-1].set(r(tr["rnnc"])),
-            actions=r(tr["actions"]),
-            action_log_probs=r(tr["logp"]),
-            value_preds=buf.value_preds.at[:-1].set(r(tr["values"])),
-            rewards=r(tr["rewards"]),
+            share_obs=buf.share_obs.at[:-1].set(tr["share_obs"]),
+            obs=buf.obs.at[:-1].set(tr["obs"]),
+            rnn_states=buf.rnn_states.at[:-1].set(tr["rnn"]),
+            rnn_states_critic=buf.rnn_states_critic.at[:-1].set(tr["rnnc"]),
+            actions=tr["actions"],
+            action_log_probs=tr["logp"],
+            value_preds=buf.value_preds.at[:-1].set(tr["values"]),
+            rewards=tr["rewards"],
             # Slot T gets the post-collect carry mask: the reference
             # SharedReplayBuffer.insert writes masks[step+1] every step, so
             # masks[T] = done-after-the-final-step there.  compute_returns
             # reads buf.masks[1:]; without this the terminal transition of a
             # horizon-aligned episode would wrongly bootstrap gamma*V(reset
             # obs) of the NEXT episode.
-            masks=buf.masks.at[:-1].set(r(tr["masks"]))
-                          .at[-1].set(final_masks.reshape(self.N, A)),
-            active_masks=buf.active_masks.at[:-1].set(r(tr["active"]))
-                          .at[-1].set(final_active.reshape(self.N, A)),
-            available_actions=buf.available_actions.at[:-1].set(r(tr["avail"])),
+            masks=buf.masks.at[:-1].set(tr["masks"])
+                          .at[-1].set(final_masks.reshape(N * A)),
+            active_masks=buf.active_masks.at[:-1].set(tr["active"])
+                          .at[-1].set(final_active.reshape(N * A)),
+            available_actions=buf.available_actions.at[:-1].set(tr["avail"]),
         )
 
     # ------------------------------------------------------------------

@@ -165,7 +165,7 @@ class RMAPPOTrainer:
     def _train(self, tstate: TrainerState, buf: MAPPOBuffer, key,
                lrs: Tuple[Array, Array]):
         cfg = self.cfg
-        T, N, A = buf.rewards.shape
+        T, M = buf.rewards.shape  # M = threads * agents (merged storage)
 
         adv_raw = buf.returns[:-1] - self._denorm(tstate.vn, buf.value_preds[:-1])
         act_m = buf.active_masks[:-1]
@@ -176,8 +176,8 @@ class RMAPPOTrainer:
         var_adv = (jnp.where(act_m > 0, (adv_raw - mean_adv) ** 2, 0.0)).sum() / n_act
         advantages = (adv_raw - mean_adv) / (jnp.sqrt(var_adv) + 1e-5)
 
-        B = T * N * A
-        flat = lambda x: x.reshape((B,) + x.shape[3:])
+        B = T * M
+        flat = lambda x: x.reshape((B,) + x.shape[2:])
         data = (
             flat(buf.share_obs[:-1]),
             flat(buf.obs[:-1]),
@@ -229,10 +229,10 @@ class RMAPPOTrainer:
     def _train_recurrent(self, tstate: TrainerState, buf: MAPPOBuffer, key,
                          lrs: Tuple[Array, Array]):
         cfg = self.cfg
-        T, N, A = buf.rewards.shape
+        T, M = buf.rewards.shape  # M = threads * agents (merged storage)
         L = cfg.data_chunk_length if cfg.use_recurrent_policy else T
         assert T % L == 0, "episode_length must be divisible by data_chunk_length"
-        C = (T // L) * N * A  # number of chunks
+        C = (T // L) * M  # number of chunks
 
         adv_raw = buf.returns[:-1] - self._denorm(tstate.vn, buf.value_preds[:-1])
         act_m = buf.active_masks[:-1]
@@ -244,15 +244,15 @@ class RMAPPOTrainer:
         advantages = (adv_raw - mean_adv) / (jnp.sqrt(var_adv) + 1e-5)
 
         def chunk(x):
-            # [T, N, A, ...] -> [C, L, ...] with chunk-major batch
-            y = x.reshape((T // L, L, N * A) + x.shape[3:])
-            y = jnp.moveaxis(y, 2, 0).reshape((C, L) + x.shape[3:])
+            # [T, M, ...] -> [C, L, ...] with chunk-major batch
+            y = x.reshape((T // L, L, M) + x.shape[2:])
+            y = jnp.moveaxis(y, 2, 0).reshape((C, L) + x.shape[2:])
             return y
 
         def chunk_start(x):
-            # rnn state at each chunk's first step: [T, N, A, Lr, H] -> [C, Lr, H]
-            y = x[::L].reshape((T // L, N * A) + x.shape[3:])
-            return jnp.moveaxis(y, 1, 0).reshape((C,) + x.shape[3:])
+            # rnn state at each chunk's first step: [T, M, Lr, H] -> [C, Lr, H]
+            y = x[::L]  # already [T//L, M, Lr, H]
+            return jnp.moveaxis(y, 1, 0).reshape((C,) + x.shape[2:])
 
         data = (
             chunk(buf.share_obs[:-1]),

@@ -73,11 +73,12 @@ def _oracle_returns(rew, vp, masks, gamma, lam, denorm):
 
 def test_compute_returns_matches_oracle():
     T, N, A = 12, 4, 2
+    M = N * A  # buffer stores threads x agents merged
     rng = np.random.RandomState(2)
     buf = init_buffer(T, N, A, 3, 3, 2, 1, 8)
-    rew = rng.randn(T, N, A).astype(np.float32)
-    vp = rng.randn(T + 1, N, A).astype(np.float32)
-    masks = (rng.rand(T + 1, N, A) > 0.2).astype(np.float32)
+    rew = rng.randn(T, M).astype(np.float32)
+    vp = rng.randn(T + 1, M).astype(np.float32)
+    masks = (rng.rand(T + 1, M) > 0.2).astype(np.float32)
     buf = buf.replace(
         rewards=jnp.asarray(rew),
         value_preds=jnp.asarray(vp),
@@ -119,13 +120,13 @@ def test_terminal_mask_written_to_final_slot():
     assert m.min() == 0.0, "at least one env must terminate at the final step"
     buf = runner._tr_to_buffer(tr, masks, out.active.astype(jnp.float32))
     N, A = cfg.n_rollout_threads, env.num_agents
-    np.testing.assert_array_equal(np.asarray(buf.masks[-1]), m.reshape(N, A))
+    np.testing.assert_array_equal(np.asarray(buf.masks[-1]), m)
     # and GAE must NOT bootstrap past a terminal final step
-    nv = jnp.ones((N, A)) * 123.0
+    nv = jnp.ones((N * A,)) * 123.0
     out_buf = compute_returns(buf, nv, None, 0.99, 0.95)
     final_ret = np.asarray(out_buf.returns[cfg.episode_length - 1])
     final_rew = np.asarray(buf.rewards[-1])
-    ended = m.reshape(N, A) == 0.0
+    ended = m == 0.0
     np.testing.assert_allclose(final_ret[ended], final_rew[ended], rtol=1e-5, atol=1e-5)
     assert np.all(final_ret[~ended] != final_rew[~ended]) or ended.all()
 
