@@ -135,6 +135,30 @@ def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     return jax.jit(run)
 
 
+def overcooked_persistent_rollout_fn(env, num_envs: int, num_steps: int,
+                                     block: int):
+    """Whole-rollout-in-one-kernel Overcooked (ops/overcooked_pallas
+    ``fused_rollout``): T steps per launch per env block, state resident in
+    VMEM, actions drawn in-kernel from a per-(env, player) LCG, and the
+    full obs encode consumed each step by an in-VMEM checksum instead of
+    an HBM store (README's methodology table labels this column).  Multi-
+    block: overcooked's horizon reset is episode-index-free."""
+    from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
+        fused_rollout,
+    )
+
+    interp = jax.default_backend() != "tpu"
+
+    def run(carry, _out, key):
+        ts, arng = carry
+        ts, arng, dcnt, chk = fused_rollout(
+            env, ts, arng, num_steps, block=block, interpret=interp
+        )
+        return (ts, arng), None, (chk.sum() + dcnt.sum()).astype(jnp.float32)
+
+    return jax.jit(run)
+
+
 def cartpole_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
     """Fused cartpole megakernel rollout (ops/cartpole_pallas): the state
     rows ARE the obs export, reward is the constant 1/step; the checksum
@@ -298,6 +322,23 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
         return carry, None, cartpole_pallas_rollout_fn(
             num_envs, num_steps, min(max(block, 8192), num_envs)
         )
+    if name in ("overcooked", "overcooked2") and backend == "persistent":
+        from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
+            fused_supported,
+            init_action_rng,
+            init_packed,
+        )
+
+        if not fused_supported(env):
+            raise SystemExit(
+                "--backend persistent requires a fused-kernel-supported "
+                "layout (<=100 cells, <=4 players)"
+            )
+        carry = (init_packed(env, num_envs),
+                 init_action_rng(num_envs, env.num_agents))
+        return carry, None, overcooked_persistent_rollout_fn(
+            env, num_envs, num_steps, min(block, num_envs)
+        )
     use_pallas = False
     if name in ("overcooked", "overcooked2") and backend != "jnp":
         from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
@@ -337,8 +378,10 @@ def main():
     p.add_argument("--backend", default="auto",
                    choices=["auto", "jnp", "pallas", "persistent"],
                    help="step implementation; auto = per-step pallas "
-                   "megakernel on TPU, jnp elsewhere; persistent (cartpole) "
-                   "= whole rollout in one kernel, in-kernel action LCG")
+                   "megakernel on TPU, jnp elsewhere; persistent (cartpole/"
+                   "overcooked/overcooked2) = whole rollout in one kernel "
+                   "launch, in-kernel action LCG, obs consumed via in-VMEM "
+                   "checksum")
     p.add_argument("--block", type=int, default=1024,
                    help="pallas megakernel env-block (lanes per grid step)")
     p.add_argument("--profile", default=None,

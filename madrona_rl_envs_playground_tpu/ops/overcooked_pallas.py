@@ -143,11 +143,19 @@ def fused_supported(env: OvercookedEnv) -> bool:
     return env.size <= 100 and env.num_players <= 4
 
 
-def _build_kernel(env: OvercookedEnv, block: int):
-    """Rows-form kernel: cell state lives as python lists of [B] lane
+def _make_transition(env: OvercookedEnv, block: int):
+    """Rows-form step body shared by the per-step kernel and the persistent
+    whole-rollout kernel: cell state lives as python lists of [B] lane
     vectors (Mosaic rejects scatter, so there are no ``.at[]`` updates —
     row reads/stores use static sublane indices, and [S, B] values are
-    assembled with ``jnp.stack(axis=0)``, which lowers fine)."""
+    assembled with ``jnp.stack(axis=0)``, which lowers fine).
+
+    Returns ``(transition, consts)`` where ``transition(state, act)`` maps
+    ``state = (on_r, oo_r, ot_r, otk_r, pos, ornt, hn, ho, ht, htk, ts)``
+    (lists of [1, B] rows; ts a single row) and ``act`` (list of P rows) to
+    ``(state', reward, done, pos_oh, obj_ch)`` — the last two are the
+    observation ingredients each kernel emits its own way (stores vs an
+    in-VMEM checksum)."""
     B = block
     S, P = env.size, env.num_players
     W = env.width
@@ -172,27 +180,12 @@ def _build_kernel(env: OvercookedEnv, block: int):
     obj_cells = tuple(s for s in range(S) if terr[s] in (T_COUNTER, T_POT))
     base_tbl = env._base_obs  # [S, K] numpy ints
 
-    def kernel(on_ref, oo_ref, ot_ref, otk_ref,
-               pos_ref, or_ref, hn_ref, ho_ref, ht_ref, htk_ref, ts_ref,
-               act_ref,
-               on_o, oo_o, ot_o, otk_o, pos_o, or_o, hn_o, ho_o, ht_o,
-               htk_o, ts_o, obs_o, rew_o, done_o):
+    def transition(state, act):
+        (on_r, oo_r, ot_r, otk_r, pos, ornt, hn_rows, ho_rows, ht_rows,
+         htk_rows, ts) = [list(x) if not isinstance(x, Array) else x
+                          for x in state]
         i32 = lambda b: b.astype(jnp.int32)
         zrow = jnp.zeros((1, B), jnp.int32)
-
-        # cell state as row lists (only object-capable cells are live)
-        on_r = [on_ref[s:s + 1] for s in range(S)]
-        oo_r = [oo_ref[s:s + 1] for s in range(S)]
-        ot_r = [ot_ref[s:s + 1] for s in range(S)]
-        otk_r = [otk_ref[s:s + 1] for s in range(S)]
-        pos = [pos_ref[p:p + 1] for p in range(P)]
-        ornt = [or_ref[p:p + 1] for p in range(P)]
-        hn_rows = [hn_ref[p:p + 1] for p in range(P)]
-        ho_rows = [ho_ref[p:p + 1] for p in range(P)]
-        ht_rows = [ht_ref[p:p + 1] for p in range(P)]
-        htk_rows = [htk_ref[p:p + 1] for p in range(P)]
-        ts = ts_ref[:]
-        act = [act_ref[p:p + 1] for p in range(P)]
 
         def cget(rows_, idx, cells=obj_cells, default=None):
             out = zrow if default is None else default
@@ -444,52 +437,107 @@ def _build_kernel(env: OvercookedEnv, block: int):
             held_into(8, [i32(hn_rows[p] == O_DISH) for p in range(P)])
             held_into(9, [i32(hn_rows[p] == O_ONION) for p in range(P)])
 
-        def stack_rows(rows_, extra=None):
-            """rows_ entries are [B] arrays or python ints; extra[s] python
-            int offsets (terrain one-hot table)."""
-            out = []
-            for s in range(S):
-                r = rows_[s]
-                e = 0 if extra is None else int(extra[s])
-                if isinstance(r, int):
-                    if r == 0 and e == 0:
-                        out.append(jnp.zeros((1, B), jnp.int8))
-                    else:
-                        out.append(jnp.full((1, B), r + e, jnp.int8))
-                else:
-                    out.append((r + e).astype(jnp.int8))
-            return jnp.concatenate(out, axis=0)
+        state_out = (on_r, oo_r, ot_r, otk_r, new_pos, prop_or, hn_rows,
+                     ho_rows, ht_rows, htk_rows, ts_out)
+        return state_out, reward, i32(done), pos_oh, obj_ch
 
-        shift = 5 * P
-        # stack object channels once; reuse across observers
-        obj_stacked = [
-            stack_rows(obj_ch[k], extra=base_tbl[:, k]) for k in range(K)
-        ]
-        # ch_matrix[i, .] is a bijection onto 0..P-1, so each presence /
-        # orientation-group channel has exactly one source player
-        inv_ch = {}
-        for i in range(P):
-            for j in range(P):
-                inv_ch[(i, int(ch_matrix[i, j]))] = j
-        for i in range(P):
-            for c in range(C):
-                if c < P:
-                    j = inv_ch[(i, c)]
-                    rows_ = [0] * S
-                    for s in air_cells:
-                        rows_[s] = pos_oh[j][s]
-                    obs_o[i, c] = stack_rows(rows_)
-                elif c < shift:
-                    c1, o = divmod(c - P, 4)
-                    j = inv_ch[(i, c1)]
-                    fo = i32(prop_or[j] == o)
-                    rows_ = [0] * S
-                    for s in air_cells:
-                        rows_[s] = pos_oh[j][s] * fo
-                    obs_o[i, c] = stack_rows(rows_)
-                else:
-                    obs_o[i, c] = obj_stacked[c - shift]
+    # emission-side constants (the kernels map obs ingredients to channels)
+    inv_ch = {}
+    for i in range(P):
+        for j in range(P):
+            inv_ch[(i, int(ch_matrix[i, j]))] = j
+    consts = dict(S=S, P=P, C=C, air_cells=air_cells, base_tbl=base_tbl,
+                  inv_ch=inv_ch)
+    return transition, consts
 
+
+def _obs_channel_rows(consts, state, pos_oh, obj_ch):
+    """Yield ``(i, c, rows_, extra)`` for every (observer, channel) pair —
+    ``rows_`` a length-S list of [1, B] rows / python ints, ``extra`` a
+    python per-cell offset column (terrain one-hot) or None.  Object
+    channels repeat per observer; callers that store may cache on ``c``."""
+    S, P, C = consts["S"], consts["P"], consts["C"]
+    air_cells, base_tbl = consts["air_cells"], consts["base_tbl"]
+    inv_ch = consts["inv_ch"]
+    prop_or = state[5]
+    shift = 5 * P
+    for i in range(P):
+        for c in range(C):
+            if c < P:
+                j = inv_ch[(i, c)]
+                rows_ = [0] * S
+                for s in air_cells:
+                    rows_[s] = pos_oh[j][s]
+                yield i, c, rows_, None
+            elif c < shift:
+                c1, o = divmod(c - P, 4)
+                j = inv_ch[(i, c1)]
+                fo = (prop_or[j] == o).astype(jnp.int32)
+                rows_ = [0] * S
+                for s in air_cells:
+                    rows_[s] = pos_oh[j][s] * fo
+                yield i, c, rows_, None
+            else:
+                yield i, c, obj_ch[c - shift], base_tbl[:, c - shift]
+
+
+def _build_kernel(env: OvercookedEnv, block: int):
+    """Per-step megakernel: one transition + full obs encode per launch."""
+    B = block
+    S, P = env.size, env.num_players
+    transition, consts = _make_transition(env, block)
+
+    def stack_rows(rows_, extra=None):
+        """rows_ entries are [B] arrays or python ints; extra[s] python
+        int offsets (terrain one-hot table)."""
+        out = []
+        for s in range(S):
+            r = rows_[s]
+            e = 0 if extra is None else int(extra[s])
+            if isinstance(r, int):
+                if r + e == 0:
+                    out.append(jnp.zeros((1, B), jnp.int8))
+                else:
+                    out.append(jnp.full((1, B), r + e, jnp.int8))
+            else:
+                out.append((r + e).astype(jnp.int8))
+        return jnp.concatenate(out, axis=0)
+
+    def kernel(on_ref, oo_ref, ot_ref, otk_ref,
+               pos_ref, or_ref, hn_ref, ho_ref, ht_ref, htk_ref, ts_ref,
+               act_ref,
+               on_o, oo_o, ot_o, otk_o, pos_o, or_o, hn_o, ho_o, ht_o,
+               htk_o, ts_o, obs_o, rew_o, done_o):
+        state = (
+            [on_ref[s:s + 1] for s in range(S)],
+            [oo_ref[s:s + 1] for s in range(S)],
+            [ot_ref[s:s + 1] for s in range(S)],
+            [otk_ref[s:s + 1] for s in range(S)],
+            [pos_ref[p:p + 1] for p in range(P)],
+            [or_ref[p:p + 1] for p in range(P)],
+            [hn_ref[p:p + 1] for p in range(P)],
+            [ho_ref[p:p + 1] for p in range(P)],
+            [ht_ref[p:p + 1] for p in range(P)],
+            [htk_ref[p:p + 1] for p in range(P)],
+            ts_ref[:],
+        )
+        act = [act_ref[p:p + 1] for p in range(P)]
+
+        state, reward, done, pos_oh, obj_ch = transition(state, act)
+
+        # stack each object channel once; reuse across observers
+        cache = {}
+        for i, c, rows_, extra in _obs_channel_rows(consts, state, pos_oh,
+                                                    obj_ch):
+            if extra is not None:
+                if c not in cache:
+                    cache[c] = stack_rows(rows_, extra=extra)
+                obs_o[i, c] = cache[c]
+            else:
+                obs_o[i, c] = stack_rows(rows_)
+
+        (on_r, oo_r, ot_r, otk_r, new_pos, prop_or, hn_rows, ho_rows,
+         ht_rows, htk_rows, ts_out) = state
         cat = lambda rows_: jnp.concatenate(rows_, axis=0)
         on_o[:] = cat(on_r)
         oo_o[:] = cat(oo_r)
@@ -503,7 +551,7 @@ def _build_kernel(env: OvercookedEnv, block: int):
         htk_o[:] = cat(htk_rows)
         rew_o[:] = jnp.concatenate([reward] * P, axis=0)
         ts_o[:] = ts_out
-        done_o[:] = i32(done)
+        done_o[:] = done
 
     return kernel
 
@@ -572,3 +620,221 @@ def fused_step(env: OvercookedEnv, ts: TState, actions_t: Array,
     N = ts.pos.shape[-1]
     block = min(block, N)
     return _compiled_step(env, N, block, interpret)(ts, actions_t)
+
+
+# ---------------------------------------------------------------------------
+# persistent-rollout kernel: T steps in ONE launch, state resident in VMEM
+# ---------------------------------------------------------------------------
+#
+# Unlike cartpole, the Overcooked horizon reset is episode-index-free (fixed
+# start positions, no RNG), so each grid block can loop T steps
+# independently — multi-block parallelism is preserved with no cross-block
+# episode rendezvous.  Per launch, HBM sees one read + one write of the
+# state rows and NOTHING else: actions come from an in-kernel per-(env,
+# player) LCG stream, and the observation encode — still computed in full
+# every step — is consumed by an in-VMEM checksum instead of a [P, C, S, N]
+# int8 store.  This measures the pure-simulation ceiling (the analog of the
+# reference's persistent CUDA megakernel mode); training-shaped rollouts
+# that materialize obs for a learner are the per-step kernel's job, and
+# README's methodology column labels the two separately.
+#
+# The action draw replicates the reference oracle's ``int(n * rand24())``
+# truncation: u24 = bits 8..31 of the LCG state, action = (u24 * 6) >> 24.
+
+_LCG_MUL = 1664525
+_LCG_INC = 1013904223
+_TEA_DELTA = 0x9E3779B9
+_TEA_K = (0xA341316C, 0xC8013EA4, 0xAD90777D, 0x7E95761E)
+
+
+def _i32const(x: int):
+    return jnp.int32(x - (1 << 32) if x >= (1 << 31) else x)
+
+
+def _act_lcg_next(w: Array) -> Array:
+    return w * _i32const(_LCG_MUL) + _i32const(_LCG_INC)
+
+
+def _act_from(w: Array, num_actions: int) -> Array:
+    u24 = jax.lax.shift_right_logical(w, 8) & jnp.int32(0x00FFFFFF)
+    return jax.lax.shift_right_logical(u24 * num_actions, 24)
+
+
+def action_lcg_next(w: Array, num_actions: int = 6):
+    """Advance the in-kernel action stream one step (exposed so the
+    differential test can drive the jnp path with the identical actions)."""
+    w2 = _act_lcg_next(w)
+    return w2, _act_from(w2, num_actions)
+
+
+def init_action_rng(num_envs: int, num_players: int, seed: int = 0) -> Array:
+    """[P, N] per-(env, player) action-LCG seeds via one TEA round pair
+    (stream tag keeps it disjoint from any episode-RNG stream)."""
+    idx = (jnp.arange(num_players * num_envs, dtype=jnp.int32)
+           + jnp.int32(seed * num_players * num_envs))
+    v0 = idx ^ _i32const(0x0C00CED5)
+    v1 = jnp.int32(0)
+    s = jnp.int32(0)
+    for _ in range(4):
+        s = s + _i32const(_TEA_DELTA)
+        v0 = v0 + (
+            ((v1 << 4) + _i32const(_TEA_K[0]))
+            ^ (v1 + s) ^ (jax.lax.shift_right_logical(v1, 5)
+                          + _i32const(_TEA_K[1]))
+        )
+        v1 = v1 + (
+            ((v0 << 4) + _i32const(_TEA_K[2]))
+            ^ (v0 + s) ^ (jax.lax.shift_right_logical(v0, 5)
+                          + _i32const(_TEA_K[3]))
+        )
+    return v0.reshape(num_players, num_envs)
+
+
+def _build_rollout_kernel(env: OvercookedEnv, block: int, num_steps: int):
+    B = block
+    S, P = env.size, env.num_players
+    A = env.num_actions
+    transition, consts = _make_transition(env, block)
+
+    def row_sum(rows_, extra):
+        """sum over cells of one obs channel: [1, B] i32 (python-int rows
+        and the terrain one-hot column fold to a single trace-time const)"""
+        const = 0
+        acc = None
+        for s in range(S):
+            r = rows_[s]
+            e = 0 if extra is None else int(extra[s])
+            const += e
+            if isinstance(r, int):
+                const += r
+            else:
+                acc = r if acc is None else acc + r
+        if acc is None:
+            acc = jnp.zeros((1, B), jnp.int32)
+        return acc + const if const else acc
+
+    def kernel(on_ref, oo_ref, ot_ref, otk_ref,
+               pos_ref, or_ref, hn_ref, ho_ref, ht_ref, htk_ref, ts_ref,
+               arng_ref,
+               on_o, oo_o, ot_o, otk_o, pos_o, or_o, hn_o, ho_o, ht_o,
+               htk_o, ts_o, arng_o, dcnt_o, chk_o):
+        init = (
+            tuple(on_ref[s:s + 1] for s in range(S)),
+            tuple(oo_ref[s:s + 1] for s in range(S)),
+            tuple(ot_ref[s:s + 1] for s in range(S)),
+            tuple(otk_ref[s:s + 1] for s in range(S)),
+            tuple(pos_ref[p:p + 1] for p in range(P)),
+            tuple(or_ref[p:p + 1] for p in range(P)),
+            tuple(hn_ref[p:p + 1] for p in range(P)),
+            tuple(ho_ref[p:p + 1] for p in range(P)),
+            tuple(ht_ref[p:p + 1] for p in range(P)),
+            tuple(htk_ref[p:p + 1] for p in range(P)),
+            ts_ref[:],
+            tuple(arng_ref[p:p + 1] for p in range(P)),
+            jnp.zeros((1, B), jnp.int32),   # done count
+            jnp.zeros((1, B), jnp.int32),   # checksum
+        )
+
+        def body(_, carry):
+            state = carry[:11]
+            arng, dcnt, chk = carry[11], carry[12], carry[13]
+            arng = [_act_lcg_next(w) for w in arng]
+            act = [_act_from(w, A) for w in arng]
+            state, reward, done, pos_oh, obj_ch = transition(state, act)
+            # consume every output in-VMEM (bench checksum discipline):
+            # the full obs encode, reward (x P seats), and done
+            for _i, _c, rows_, extra in _obs_channel_rows(
+                    consts, state, pos_oh, obj_ch):
+                chk = chk + row_sum(rows_, extra)
+            chk = chk + reward * P + done
+            dcnt = dcnt + done
+            return tuple(
+                tuple(x) if isinstance(x, list) else x for x in state
+            ) + (tuple(arng), dcnt, chk)
+
+        out = jax.lax.fori_loop(0, num_steps, body, init)
+        state, arng, dcnt, chk = out[:11], out[11], out[12], out[13]
+        (on_r, oo_r, ot_r, otk_r, new_pos, prop_or, hn_rows, ho_rows,
+         ht_rows, htk_rows, ts_out) = state
+        cat = lambda rows_: jnp.concatenate(list(rows_), axis=0)
+        on_o[:] = cat(on_r)
+        oo_o[:] = cat(oo_r)
+        ot_o[:] = cat(ot_r)
+        otk_o[:] = cat(otk_r)
+        pos_o[:] = cat(new_pos)
+        or_o[:] = cat(prop_or)
+        hn_o[:] = cat(hn_rows)
+        ho_o[:] = cat(ho_rows)
+        ht_o[:] = cat(ht_rows)
+        htk_o[:] = cat(htk_rows)
+        ts_o[:] = ts_out
+        arng_o[:] = cat(arng)
+        dcnt_o[:] = dcnt
+        chk_o[:] = chk
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_rollout(env: OvercookedEnv, num_envs: int, block: int,
+                      num_steps: int, interpret: bool):
+    S, P = env.size, env.num_players
+    assert num_envs % block == 0, (num_envs, block)
+    grid = (num_envs // block,)
+    kernel = _build_rollout_kernel(env, block, num_steps)
+
+    def rows(r):
+        return pl.BlockSpec((r, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [rows(S)] * 4 + [rows(P)] * 6 + [rows(1), rows(P)]
+    out_specs = tuple(
+        [rows(S)] * 4 + [rows(P)] * 6 + [rows(1), rows(P), rows(1), rows(1)]
+    )
+    sds = jax.ShapeDtypeStruct
+    out_shapes = tuple(
+        [sds((S, num_envs), jnp.int32)] * 4
+        + [sds((P, num_envs), jnp.int32)] * 6
+        + [sds((1, num_envs), jnp.int32),
+           sds((P, num_envs), jnp.int32),
+           sds((1, num_envs), jnp.int32),
+           sds((1, num_envs), jnp.int32)]
+    )
+    call = pl.pallas_call(
+        kernel, grid=grid,
+        out_shape=out_shapes,
+        in_specs=in_specs, out_specs=out_specs,
+        interpret=interpret,
+    )
+
+    def rollout(ts: TState, act_rng: Array):
+        (on, oo, ot, otk, pos, ornt, hn, ho, ht, htk, tstep, arng, dcnt,
+         chk) = call(
+            ts.obj_name, ts.obj_onions, ts.obj_tomatoes, ts.obj_tick,
+            ts.pos, ts.orient, ts.held_name, ts.held_onions,
+            ts.held_tomatoes, ts.held_tick, ts.timestep, act_rng,
+        )
+        ts2 = TState(
+            obj_name=on, obj_onions=oo, obj_tomatoes=ot, obj_tick=otk,
+            pos=pos, orient=ornt, held_name=hn, held_onions=ho,
+            held_tomatoes=ht, held_tick=htk, timestep=tstep,
+        )
+        return ts2, arng, dcnt[0], chk[0]
+
+    return rollout
+
+
+def fused_rollout(env: OvercookedEnv, ts: TState, act_rng: Array,
+                  num_steps: int, block: int = 1024,
+                  interpret: bool = False):
+    """T fused steps in ONE kernel launch per env block.
+
+    ``act_rng``: [P, N] int32 (``init_action_rng``).  Returns
+    ``(TState', act_rng', done_count [N] i32, checksum [N] i32)`` where
+    checksum = sum over steps of (obs.sum + P * reward + done) per env —
+    the same consumption the per-step bench applies, accumulated in VMEM.
+    Requires ``fused_supported(env)``.
+    """
+    N = ts.pos.shape[-1]
+    block = min(block, N)
+    return _compiled_rollout(env, N, block, num_steps, interpret)(ts, act_rng)

@@ -84,3 +84,57 @@ def test_pallas_v1_multiplayer():
     """4-player path (interpret mode is slow; broader layout coverage runs
     compiled on TPU via bench/examples)."""
     run_equivalence("v1", "multiplayer_schelling", horizon=6, steps=10, seed=7)
+
+
+@pytest.mark.parametrize("variant,layout", [("v1", "cramped_room"),
+                                            ("v2", "simple")])
+def test_persistent_rollout_matches_jnp(variant, layout):
+    """The T-steps-in-one-launch kernel (multi-block): final state, action
+    rng, per-env done count, and the in-VMEM obs/reward/done checksum must
+    match a jnp ``batched_step`` loop fed the SAME in-kernel LCG action
+    stream."""
+    from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
+        action_lcg_next,
+        fused_rollout,
+        init_action_rng,
+    )
+
+    env = (overcooked if variant == "v1" else overcooked2).make(
+        layout, horizon=30
+    )
+    P = env.num_players
+    T = 70
+    bstate, out = batched_reset(env, N)
+    ts = init_packed(env, N)
+    w0 = init_action_rng(N, P, seed=0)
+
+    roll = jax.jit(lambda ts_, w_: fused_rollout(env, ts_, w_, T, block=4,
+                                                 interpret=INTERP))
+    ts2, w2, dcnt, chk = roll(ts, w0)
+
+    # jnp reference driven by the identical action stream
+    step_jnp = jax.jit(batched_step, static_argnums=(0,))
+    w = w0
+    dref = np.zeros(N, np.int64)
+    cref = np.zeros(N, np.int64)
+    for t in range(T):
+        w, a = action_lcg_next(w, env.num_actions)
+        bstate, out = step_jnp(env, bstate, a.T)
+        obs = np.asarray(out.obs, np.int64)          # [N, P, S*C]
+        cref += obs.reshape(N, -1).sum(axis=1)
+        cref += np.asarray(out.reward, np.int64).sum(axis=1)
+        cref += np.asarray(out.done, np.int64)
+        dref += np.asarray(out.done, np.int64)
+
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w))
+    np.testing.assert_array_equal(np.asarray(dcnt), dref)
+    np.testing.assert_array_equal(np.asarray(chk), cref)
+    ref = bstate.env_states
+    got = unpack_state(env, ts2)
+    for f in ("obj_name", "obj_onions", "obj_tomatoes", "obj_tick", "pos",
+              "orient", "held_name", "held_onions", "held_tomatoes",
+              "held_tick", "timestep"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+            err_msg=f"state.{f}",
+        )
