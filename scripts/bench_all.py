@@ -17,34 +17,60 @@ import jax  # noqa: E402
 from bench import REFERENCE_GPU, build_rollout, make_env  # noqa: E402
 
 
+# (env, layout, num_envs, num_steps, backend) — the README table sweep.
+# "persistent" rows = whole-rollout-in-kernel with in-kernel action LCG
+# (README's methodology note); "auto" = per-step megakernel on TPU.
 CONFIGS = [
-    ("overcooked", None, 8192, 1000),
-    ("overcooked2", None, 8192, 1000),
-    ("hanabi", None, 8192, 500),
-    ("cartpole", None, 65536, 1000),
-    ("balance", None, 32768, 1000),
+    ("overcooked", None, 8192, 1000, "auto"),
+    ("overcooked", None, 8192, 1000, "persistent"),
+    ("overcooked", None, 131072, 1000, "auto"),
+    ("overcooked", None, 131072, 1000, "persistent"),
+    ("overcooked", None, 524288, 1000, "persistent"),
+    ("overcooked2", None, 8192, 1000, "auto"),
+    ("overcooked2", None, 8192, 1000, "persistent"),
+    ("overcooked2", None, 131072, 1000, "auto"),
+    ("overcooked2", None, 131072, 1000, "persistent"),
+    ("hanabi", None, 8192, 500, "auto"),
+    ("hanabi", None, 131072, 500, "auto"),
+    ("cartpole", None, 8192, 1000, "persistent"),
+    ("cartpole", None, 65536, 1000, "auto"),
+    ("cartpole", None, 1048576, 1000, "auto"),
+    ("balance", None, 32768, 1000, "auto"),
+    ("balance", None, 1048576, 1000, "auto"),
 ]
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    p.add_argument("--backend", default=None,
+                   choices=["auto", "jnp", "pallas", "persistent"],
+                   help="override every row's backend")
+    p.add_argument("--env", default=None, help="only rows for this env")
     args = p.parse_args()
 
-    for name, layout, num_envs, num_steps in CONFIGS:
-        env = make_env(name, layout, None)
-        key = jax.random.PRNGKey(0)
-        bstate, out, run = build_rollout(env, name, num_envs, num_steps,
-                                         backend=args.backend)
-        bstate, out, s = run(bstate, out, key)
-        float(s)  # value fetch = trustworthy barrier through the tunnel
-        times = []
-        for r in range(args.repeats):
-            t0 = time.perf_counter()
-            bstate, out, s = run(bstate, out, jax.random.fold_in(key, r))
-            float(s)
-            times.append(time.perf_counter() - t0)
+    for name, layout, num_envs, num_steps, row_backend in CONFIGS:
+        if args.env and name != args.env:
+            continue
+        backend = args.backend or row_backend
+        try:
+            env = make_env(name, layout, None)
+            key = jax.random.PRNGKey(0)
+            bstate, out, run = build_rollout(env, name, num_envs, num_steps,
+                                             backend=backend)
+            bstate, out, s = run(bstate, out, key)
+            float(s)  # value fetch = trustworthy barrier through the tunnel
+            times = []
+            for r in range(args.repeats):
+                t0 = time.perf_counter()
+                bstate, out, s = run(bstate, out, jax.random.fold_in(key, r))
+                float(s)
+                times.append(time.perf_counter() - t0)
+        except Exception as e:  # keep the sweep alive past one OOM/compile
+            print(json.dumps({"metric": f"{name}_steps_per_s",
+                              "num_envs": num_envs, "backend": backend,
+                              "error": str(e)[:200]}), flush=True)
+            continue
         times.sort()
         sps = num_steps * num_envs / times[len(times) // 2]
         print(
@@ -54,6 +80,7 @@ def main():
                     "value": round(sps, 1),
                     "unit": "env-steps/s",
                     "num_envs": num_envs,
+                    "backend": backend,
                     "vs_baseline": round(sps / REFERENCE_GPU[name], 4),
                 }
             ),
