@@ -201,7 +201,9 @@ def cartpole_persistent_rollout_fn(num_envs: int, num_steps: int):
         grid, rng_i, arng, cnt, dcnt, chk = fused_rollout(
             grid, rng_i, arng, cnt, num_steps, interpret=interp
         )
-        return (grid, rng_i, arng, cnt), None, chk + dcnt.astype(jnp.float32)
+        return (grid, rng_i, arng, cnt), None, (
+            chk.sum() + dcnt.astype(jnp.float32).sum()
+        )
 
     return jax.jit(run)
 
@@ -296,18 +298,8 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
         from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
             init_action_rng,
             init_packed,
-            persistent_supported,
         )
 
-        if not persistent_supported(num_envs):
-            from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
-                PERSISTENT_MAX_ENVS,
-            )
-
-            raise SystemExit(
-                f"--backend persistent holds all state in one VMEM block; "
-                f"max envs {PERSISTENT_MAX_ENVS}, got {num_envs}"
-            )
         g0, r0, c0 = init_packed(num_envs)
         carry = (g0, r0, init_action_rng(num_envs), c0)
         return carry, None, cartpole_persistent_rollout_fn(num_envs, num_steps)

@@ -232,12 +232,17 @@ def init_packed(num_envs: int, start_episode: int = 0):
 # timed region, `scripts/cartpole_isolated_example.py`; only the generator
 # differs — documented in README's methodology column).
 #
-# Episode-counter order: world order per step is a lane-order prefix sum, so
-# the global allocation matches the jnp path only when the batch is a single
-# block.  The kernel therefore REQUIRES block == num_envs (VMEM caps this at
-# 65536 envs; larger batches stay on the per-step kernel) and is bit-exact vs
-# a jnp `batched_step` loop fed the same LCG action stream
-# (tests/test_cartpole_pallas.py).
+# Episode-counter order: within a block, world order per step is a lane-
+# order prefix sum.  Across blocks the TPU grid is sequential, so an SMEM
+# scratch carries the running counter from block to block — block b runs its
+# whole T-step loop before block b+1 starts, giving a *block-sequential*
+# deterministic allocation: every episode still gets a unique world-
+# deterministic index, but interleaved differently than the jnp path's
+# per-step whole-batch cumsum.  (The reference's own GPU executor allocates
+# in nondeterministic fetch_add order, so this is a stronger guarantee than
+# the baseline's, not a weaker one.)  Bit-exactness is proven against a jnp
+# `batched_step` reference that replays the same block-sequential schedule
+# and the same LCG action stream (tests/test_cartpole_pallas.py).
 
 
 def _build_rollout_kernel(block: int, num_steps: int):
@@ -246,7 +251,13 @@ def _build_rollout_kernel(block: int, num_steps: int):
     srl = lax.shift_right_logical
 
     def kernel(cnt_ref, st_ref, rng_ref, arng_ref,
-               st_o, rng_o, arng_o, done_cnt_o, cnt_o, chk_o):
+               st_o, rng_o, arng_o, done_cnt_o, cnt_o, chk_o, base_s):
+        gi = pl.program_id(0)
+
+        @pl.when(gi == 0)
+        def _():
+            base_s[0, 0] = cnt_ref[0, 0]
+
         lane = lax.broadcasted_iota(jnp.int32, (1, B), 1)
 
         def body(_, carry):
@@ -298,17 +309,18 @@ def _build_rollout_kernel(block: int, num_steps: int):
             v5 = jnp.where(done, v4, v)
 
             # per-step output consumption (bench checksum discipline): the
-            # exported obs IS the state, so fold x + done into accumulators
-            dcnt = dcnt + jnp.sum(d32, axis=1, keepdims=True)
-            chk = chk + jnp.sum(x3, axis=1, keepdims=True)
+            # exported obs IS the state, so fold x + done into per-env
+            # accumulator rows
+            dcnt = dcnt + d32
+            chk = chk + x3
             return (x3, xd3, th3, thd3, v5, w2, base, dcnt, chk)
 
         init = (
             st_ref[0:1], st_ref[1:2], st_ref[2:3], st_ref[3:4],
             rng_ref[:], arng_ref[:],
-            jnp.full((1, 1), cnt_ref[0, 0], jnp.int32),
-            jnp.zeros((1, 1), jnp.int32),
-            jnp.zeros((1, 1), jnp.float32),
+            jnp.full((1, 1), base_s[0, 0], jnp.int32),
+            jnp.zeros((1, B), jnp.int32),
+            jnp.zeros((1, B), jnp.float32),
         )
         x, xd, th, thd, v, w, base, dcnt, chk = lax.fori_loop(
             0, num_steps, body, init
@@ -316,32 +328,40 @@ def _build_rollout_kernel(block: int, num_steps: int):
         st_o[0:1], st_o[1:2], st_o[2:3], st_o[3:4] = x, xd, th, thd
         rng_o[:] = v
         arng_o[:] = w
-        done_cnt_o[0, 0] = dcnt[0, 0]
-        cnt_o[0, 0] = base[0, 0]
-        chk_o[0, 0] = chk[0, 0]
+        done_cnt_o[:] = dcnt
+        chk_o[:] = chk
+        base_s[0, 0] = base[0, 0]
+
+        @pl.when(gi == pl.num_programs(0) - 1)
+        def _():
+            cnt_o[0, 0] = base_s[0, 0]
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_rollout(num_envs: int, num_steps: int, interpret: bool):
-    kernel = _build_rollout_kernel(num_envs, num_steps)
-    rows = lambda r: pl.BlockSpec((r, num_envs), lambda: (0, 0),
+def _compiled_rollout(num_envs: int, block: int, num_steps: int,
+                      interpret: bool):
+    assert num_envs % block == 0, (num_envs, block)
+    grid = (num_envs // block,)
+    kernel = _build_rollout_kernel(block, num_steps)
+    rows = lambda r: pl.BlockSpec((r, block), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
-    smem11 = pl.BlockSpec((1, 1), lambda: (0, 0), memory_space=pltpu.SMEM)
+    smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     sds = jax.ShapeDtypeStruct
     call = pl.pallas_call(
-        kernel,
+        kernel, grid=grid,
         in_specs=[smem11, rows(4), rows(1), rows(1)],
-        out_specs=(rows(4), rows(1), rows(1), smem11, smem11, smem11),
+        out_specs=(rows(4), rows(1), rows(1), rows(1), smem11, rows(1)),
         out_shape=(
             sds((4, num_envs), jnp.float32),
             sds((1, num_envs), jnp.int32),
             sds((1, num_envs), jnp.int32),
+            sds((1, num_envs), jnp.int32),
             sds((1, 1), jnp.int32),
-            sds((1, 1), jnp.int32),
-            sds((1, 1), jnp.float32),
+            sds((1, num_envs), jnp.float32),
         ),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
         interpret=interpret,
     )
 
@@ -349,41 +369,30 @@ def _compiled_rollout(num_envs: int, num_steps: int, interpret: bool):
         st, rng2, arng2, dcnt, cnt, chk = call(
             counter.reshape(1, 1).astype(jnp.int32), grid_st, rng_i, act_rng
         )
-        return st, rng2, arng2, cnt[0, 0], dcnt[0, 0], chk[0, 0]
+        return st, rng2, arng2, cnt[0, 0], dcnt[0], chk[0]
 
     return rollout
 
 
-# the six persistent state rows (x, xd, th, thd, env rng, action rng) must
-# fit one VMEM block alongside compiler temporaries; measured on the v5e:
-# 131072 envs needs a 22.9 MB scoped stack vs the 16 MB/core limit, 65536
-# compiles and runs.  Measured crossover (bench.py, T=1000): the persistent
-# kernel wins below ~32k envs where per-launch fixed cost dominates (200M vs
-# 178M @8k, 314M vs 264M @16k) and LOSES to the per-step megakernel at 32k+
-# (449M vs 583M @32k, 910M vs 978M @65k — the single [1,N] block serializes
-# work the multi-block grid overlaps), so bench.py keeps it opt-in
-# (`--backend persistent`) rather than part of `auto`.
-PERSISTENT_MAX_ENVS = 65_536
-
-
-def persistent_supported(num_envs: int) -> bool:
-    return num_envs <= PERSISTENT_MAX_ENVS
+# per-block VMEM: the six state rows + loop temporaries; measured on the
+# v5e a 131072-lane block needs a 22.9 MB scoped stack vs the 16 MB/core
+# limit, 65536 compiles.  Blocks loop T steps sequentially (grid order), so
+# prefer the largest block that fits to minimize per-block entry cost.
+PERSISTENT_MAX_BLOCK = 65_536
 
 
 def fused_rollout(grid_st: Array, rng_i: Array, act_rng: Array, counter,
-                  num_steps: int, interpret: bool = False):
-    """T fused cartpole steps in ONE kernel launch (single VMEM block).
+                  num_steps: int, block: int = PERSISTENT_MAX_BLOCK,
+                  interpret: bool = False):
+    """T fused cartpole steps in ONE kernel launch (multi-block grid).
 
     Returns (state' [4,N], rng' [1,N], act_rng' [1,N], counter',
-    done_count, checksum).  Requires ``persistent_supported(N)``.
+    done_count [N], checksum [N]).  Episode indices are allocated block-
+    sequentially (see the module note above).
     """
     N = grid_st.shape[-1]
-    if not persistent_supported(N):
-        raise ValueError(
-            f"persistent rollout holds all state in one VMEM block; "
-            f"{N} envs > {PERSISTENT_MAX_ENVS}"
-        )
-    return _compiled_rollout(N, num_steps, interpret)(
+    block = min(block, N, PERSISTENT_MAX_BLOCK)
+    return _compiled_rollout(N, block, num_steps, interpret)(
         grid_st, rng_i, act_rng, counter
     )
 

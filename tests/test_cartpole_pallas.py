@@ -6,6 +6,7 @@ exercises hundreds of world-order counter allocations)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from madrona_rl_envs_playground_tpu.core.batch import batched_reset, batched_step
 from madrona_rl_envs_playground_tpu.envs import cartpole
@@ -65,41 +66,66 @@ def test_cartpole_kernel_matches_jnp():
     assert saw_done > N, "random cartpole must reset many times in 60 steps"
 
 
-def test_cartpole_persistent_rollout_matches_jnp():
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_cartpole_persistent_rollout_matches_jnp(blocks):
     """The T-steps-in-one-launch kernel: final state, rng, episode counter,
-    done count, and checksum must match a jnp ``batched_step`` loop fed the
-    SAME in-kernel LCG action stream (block == N, so the world-order counter
-    allocation coincides with the jnp cumsum order)."""
+    per-env done counts, and checksums must match a jnp ``batched_step``
+    reference that replays the kernel's block-sequential schedule (block b
+    runs all T steps — carrying the episode counter — before block b+1)
+    with the SAME in-kernel LCG action stream."""
+    from madrona_rl_envs_playground_tpu.core.types import BatchState
+
     env = cartpole.Env()
-    N, T = 64, 70
-    bstate, out = batched_reset(env, N)
+    N, T = (64, 70) if INTERP else (256, 70)
+    BLOCK = N // blocks
+    bstate0, _ = batched_reset(env, N)
     grid0, rng0, c0 = init_packed(N)
     arng0 = init_action_rng(N, seed=0)
 
     roll = jax.jit(lambda g, r, w, c: fused_rollout(g, r, w, c, T,
+                                                    block=BLOCK,
                                                     interpret=INTERP))
     grid, rng_i, arng, counter, dcnt, chk = roll(grid0, rng0, arng0, c0)
 
-    # jnp reference driven by the identical action stream
+    # jnp reference: per block, T steps with the counter carried across
+    # blocks, actions from the identical LCG stream
     step_jnp = jax.jit(batched_step, static_argnums=(0,))
-    w = arng0
-    dtot, chk_ref = 0, 0.0
-    for t in range(T):
-        w, a = action_lcg_next(w)
-        bstate, out = step_jnp(env, bstate, a.T)
-        dtot += int(np.asarray(out.done).sum())
-        chk_ref += float(np.asarray(bstate.env_states.x).sum())
+    base = jnp.uint32(N)
+    final_states, final_w = [], []
+    dref = np.zeros(N, np.int64)
+    cref = np.zeros(N, np.float64)
+    sl = lambda x, b: x[b * BLOCK:(b + 1) * BLOCK]
+    for b in range(blocks):
+        bs = BatchState(
+            env_states=jax.tree_util.tree_map(
+                lambda x: sl(x, b), bstate0.env_states),
+            episode_counter=base,
+        )
+        w = arng0[:, b * BLOCK:(b + 1) * BLOCK]
+        for t in range(T):
+            w, a = action_lcg_next(w)
+            bs, out = step_jnp(env, bs, a.T)
+            dref[b * BLOCK:(b + 1) * BLOCK] += np.asarray(out.done)
+            cref[b * BLOCK:(b + 1) * BLOCK] += np.asarray(
+                bs.env_states.x, np.float64)
+        base = bs.episode_counter
+        final_states.append(bs.env_states)
+        final_w.append(w)
 
-    assert int(counter) == int(bstate.episode_counter)
-    assert int(dcnt) == dtot
-    ref = bstate.env_states
+    ref = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+        *final_states)
+    assert int(counter) == int(base)
+    np.testing.assert_array_equal(np.asarray(dcnt), dref)
     got = unpack_state(grid, rng_i)
     for f in ("x", "x_dot", "theta", "theta_dot", "rng_v"):
         np.testing.assert_array_equal(
             np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
             err_msg=f"state.{f}",
         )
-    np.testing.assert_array_equal(np.asarray(arng), np.asarray(w))
+    np.testing.assert_array_equal(
+        np.asarray(arng), np.concatenate([np.asarray(w) for w in final_w],
+                                         axis=1))
     # chk is an f32 in-kernel accumulation; the reference accumulates in f64
-    # (and sums of signed x can sit near zero, so give it an absolute floor)
-    np.testing.assert_allclose(float(chk), chk_ref, rtol=1e-4, atol=1e-2)
+    # (per-env sums of signed x sit near zero, so give an absolute floor)
+    np.testing.assert_allclose(np.asarray(chk), cref, rtol=1e-4, atol=1e-2)
