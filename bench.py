@@ -208,6 +208,29 @@ def cartpole_persistent_rollout_fn(num_envs: int, num_steps: int):
     return jax.jit(run)
 
 
+def balance_persistent_rollout_fn(num_envs: int, num_steps: int):
+    """Whole-rollout-in-one-kernel Balance Beam (ops/balance_pallas
+    ``fused_rollout``): T steps per launch per block, in-kernel per-seat
+    action LCG, obs/reward/done consumed via in-VMEM per-env accumulators
+    (README methodology column)."""
+    from madrona_rl_envs_playground_tpu.ops.balance_pallas import (
+        fused_rollout,
+    )
+
+    interp = jax.default_backend() != "tpu"
+
+    def run(carry, _out, key):
+        loc, obs, time, rng_i, cnt, arng = carry
+        loc, obs, time, rng_i, arng, cnt, dcnt, chk = fused_rollout(
+            loc, obs, time, rng_i, cnt, arng, num_steps, interpret=interp
+        )
+        return (loc, obs, time, rng_i, cnt, arng), None, (
+            chk.sum() + dcnt.astype(jnp.float32).sum()
+        )
+
+    return jax.jit(run)
+
+
 def balance_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
     """Fused Balance Beam megakernel rollout (ops/balance_pallas): move +
     history obs + reward + reset in one kernel; checksum consumes obs +
@@ -283,6 +306,15 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
             return carry, None, hanabi_pallas_rollout_fn(
                 env, num_envs, num_steps, min(block, num_envs)
             )
+    if name == "balance" and backend == "persistent":
+        from madrona_rl_envs_playground_tpu.ops.balance_pallas import (
+            init_action_rng,
+            init_packed,
+        )
+
+        loc, obs, time, rng_i, cnt = init_packed(num_envs)
+        carry = (loc, obs, time, rng_i, cnt, init_action_rng(num_envs))
+        return carry, None, balance_persistent_rollout_fn(num_envs, num_steps)
     if name == "balance" and backend != "jnp" and (
         backend == "pallas" or on_tpu
     ):

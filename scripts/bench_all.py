@@ -36,7 +36,10 @@ CONFIGS = [
     ("cartpole", None, 65536, 1000, "auto"),
     ("cartpole", None, 1048576, 1000, "auto"),
     ("balance", None, 32768, 1000, "auto"),
+    ("balance", None, 32768, 1000, "persistent"),
     ("balance", None, 1048576, 1000, "auto"),
+    ("balance", None, 1048576, 1000, "persistent"),
+    ("cartpole", None, 1048576, 1000, "persistent"),
 ]
 
 

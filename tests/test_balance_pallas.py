@@ -66,3 +66,70 @@ def test_balance_kernel_matches_jnp():
             err_msg=f"t={t} obs",
         )
     assert saw_done > N, "random balance play must reset many times in 40 steps"
+
+
+def test_balance_persistent_rollout_matches_jnp():
+    """The T-steps-in-one-launch kernel at 4 blocks: the jnp reference
+    replays the kernel's block-sequential schedule (block b runs all T
+    steps, carrying the episode counter, before block b+1) with the SAME
+    in-kernel per-seat LCG action stream."""
+    from madrona_rl_envs_playground_tpu.core.types import BatchState
+    from madrona_rl_envs_playground_tpu.ops.balance_pallas import (
+        action_lcg_next,
+        fused_rollout,
+        init_action_rng,
+    )
+
+    env = balance_beam.Env()
+    N, T = 64, 50
+    BLOCK = 16 if INTERP else 64
+    blocks = N // BLOCK
+    bstate0, _ = batched_reset(env, N)
+    loc, obs, time, rng_i = pack_state(bstate0.env_states)
+    w0 = init_action_rng(N, seed=0)
+
+    roll = jax.jit(lambda l, o, t, r, c, w: fused_rollout(
+        l, o, t, r, c, w, T, block=BLOCK, interpret=INTERP))
+    loc2, obs2, t2, rng2, arng2, counter, dcnt, chk = roll(
+        loc, obs, time, rng_i, jnp.int32(N), w0)
+
+    step_jnp = jax.jit(batched_step, static_argnums=(0,))
+    base = jnp.uint32(N)
+    finals, final_w = [], []
+    dref = np.zeros(N, np.int64)
+    cref = np.zeros(N, np.float64)
+    for b in range(blocks):
+        sl = slice(b * BLOCK, (b + 1) * BLOCK)
+        bs = BatchState(
+            env_states=jax.tree_util.tree_map(
+                lambda x: x[sl], bstate0.env_states),
+            episode_counter=base,
+        )
+        w = w0[:, sl]
+        for t in range(T):
+            w, a = action_lcg_next(w)
+            bs, out = step_jnp(env, bs, a.T)
+            # obs sum (both seats) + reward (per-env stream, seat 0's value
+            # == the kernel's single reward row) + done
+            cref[sl] += np.asarray(out.obs, np.float64).reshape(
+                BLOCK, -1).sum(axis=1)
+            cref[sl] += np.asarray(out.reward, np.float64)[:, 0]
+            cref[sl] += np.asarray(out.done, np.float64)
+            dref[sl] += np.asarray(out.done)
+        base = bs.episode_counter
+        finals.append(bs.env_states)
+        final_w.append(np.asarray(w))
+
+    ref = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *finals)
+    assert int(counter) == int(base)
+    np.testing.assert_array_equal(np.asarray(dcnt), dref)
+    got = unpack_state(loc2, obs2, t2, rng2)
+    for f in ("loc", "obs", "time", "rng_v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+            err_msg=f"state.{f}",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(arng2), np.concatenate(final_w, axis=1))
+    np.testing.assert_allclose(np.asarray(chk), cref, rtol=1e-5, atol=1e-3)

@@ -25,6 +25,7 @@ from bench import build_rollout, make_env  # noqa: E402
     ("cartpole", "pallas", 8),
     ("cartpole", "persistent", 8),
     ("balance", "pallas", 8),
+    ("balance", "persistent", 8),
     ("hanabi", "pallas", 8),
 ])
 def test_backend_route_runs(name, backend, num_envs):
