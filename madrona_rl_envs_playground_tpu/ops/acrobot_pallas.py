@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..envs.acrobot import State
-from .cartpole_pallas import _lcg_next, _tea_seed, _unif
+from .cartpole_pallas import _i32, _lcg_next, _tea_seed, _unif
 
 Array = jnp.ndarray
 
@@ -51,7 +51,7 @@ def unpack_state(grid: Array, steps: Array, rng_i: Array) -> State:
     )
 
 
-def _build_kernel(block: int):
+def _make_step(block: int):
     B = block
     f32 = jnp.float32
 
@@ -74,16 +74,12 @@ def _build_kernel(block: int):
         a1 = -(d2 * a2 + phi1) / d1
         return (w1, w2, a1, a2)
 
-    def kernel(cnt_ref, st_ref, steps_ref, rng_ref, act_ref,
-               st_o, steps_o, rng_o, done_o, cnt_o, base_s):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            base_s[0, 0] = cnt_ref[0, 0]
-
-        s = (st_ref[0:1], st_ref[1:2], st_ref[2:3], st_ref[3:4])
-        a = act_ref[:]
+    def step(state, a, base):
+        """Shared rows-form step (per-step kernel + persistent rollout):
+        state = (t1, t2, w1, w2, steps, rng), base a [1, 1] running episode
+        counter.  Returns (state', d32, base')."""
+        t1p, t2p, w1p, w2p, steps_p, rng = state
+        s = (t1p, t2p, w1p, w2p)
         torque = jnp.where(a == 0, f32(-1.0), jnp.where(a == 1, f32(0.0),
                                                         f32(1.0)))
         dt = f32(0.2)
@@ -104,7 +100,7 @@ def _build_kernel(block: int):
         t1, t2 = wrap(t1), wrap(t2)
         w1 = jnp.clip(w1, f32(-4.0 * _PI), f32(4.0 * _PI))
         w2 = jnp.clip(w2, f32(-9.0 * _PI), f32(9.0 * _PI))
-        steps = steps_ref[:] + 1
+        steps = steps_p + 1
         done = (-jnp.cos(t1) - jnp.cos(t2 + t1) > f32(1.0)) | (steps > 500)
         d32 = done.astype(jnp.int32)
 
@@ -116,9 +112,8 @@ def _build_kernel(block: int):
             ps = ps + jnp.where(lane >= k, pltpu.roll(ps, shift=k, axis=1), 0)
             k *= 2
         total = jnp.sum(d32, axis=1, keepdims=True)
-        base = base_s[0, 0]
         eps = base + (ps - d32)
-        base_s[0, 0] = base + total[0, 0]
+        base2 = base + total[0:1, 0:1]
 
         # fresh episode: TEA seed + 4 uniform draws in [-0.1, 0.1)
         sd = _tea_seed(eps)
@@ -129,12 +124,40 @@ def _build_kernel(block: int):
         lo, rg = f32(-0.1), f32(0.2)
         f = [lo + _unif(v) * rg for v in (v1, v2, v3, v4)]
 
-        st_o[0:1] = jnp.where(done, f[0], t1)
-        st_o[1:2] = jnp.where(done, f[1], t2)
-        st_o[2:3] = jnp.where(done, f[2], w1)
-        st_o[3:4] = jnp.where(done, f[3], w2)
-        steps_o[:] = jnp.where(done, 0, steps)
-        rng_o[:] = jnp.where(done, v4, rng_ref[:])
+        nstate = (
+            jnp.where(done, f[0], t1),
+            jnp.where(done, f[1], t2),
+            jnp.where(done, f[2], w1),
+            jnp.where(done, f[3], w2),
+            jnp.where(done, 0, steps),
+            jnp.where(done, v4, rng),
+        )
+        return nstate, d32, base2
+
+    return step
+
+
+def _build_kernel(block: int):
+    step = _make_step(block)
+
+    def kernel(cnt_ref, st_ref, steps_ref, rng_ref, act_ref,
+               st_o, steps_o, rng_o, done_o, cnt_o, base_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            base_s[0, 0] = cnt_ref[0, 0]
+
+        state = (st_ref[0:1], st_ref[1:2], st_ref[2:3], st_ref[3:4],
+                 steps_ref[:], rng_ref[:])
+        base = jnp.full((1, 1), base_s[0, 0], jnp.int32)
+        (t1, t2, w1, w2, steps, rng), d32, base = step(state, act_ref[:],
+                                                       base)
+        base_s[0, 0] = base[0, 0]
+
+        st_o[0:1], st_o[1:2], st_o[2:3], st_o[3:4] = t1, t2, w1, w2
+        steps_o[:] = steps
+        rng_o[:] = rng
         done_o[:] = d32
 
         @pl.when(i == pl.num_programs(0) - 1)
@@ -197,3 +220,125 @@ def init_packed(num_envs: int, start_episode: int = 0):
     eps = jnp.arange(num_envs, dtype=jnp.uint32) + jnp.uint32(start_episode)
     st = jax.vmap(Env().init_core)(eps)
     return pack_state(st) + (jnp.int32(start_episode + num_envs),)
+
+
+# ---------------------------------------------------------------------------
+# persistent-rollout kernel: T steps in ONE launch (multi-block SMEM carry)
+# ---------------------------------------------------------------------------
+# Same design as cartpole/balance: in-kernel per-env action LCG (3 torques:
+# action = (u24 * 3) >> 24), per-env obs(=state)+done accumulator rows,
+# block-sequential episode allocation via the SMEM counter carry.
+
+
+def action_lcg_next(w: Array, num_actions: int = 3):
+    w2 = _lcg_next(w)
+    u24 = lax.shift_right_logical(w2, 8) & jnp.int32(0x00FFFFFF)
+    return w2, lax.shift_right_logical(u24 * num_actions, 24)
+
+
+def init_action_rng(num_envs: int, seed: int = 0) -> Array:
+    idx = jnp.arange(num_envs, dtype=jnp.int32) + jnp.int32(seed * num_envs)
+    return _tea_seed(idx ^ _i32(0x0AC20B07))[None, :]
+
+
+def _build_rollout_kernel(block: int, num_steps: int):
+    B = block
+    step = _make_step(block)
+
+    def kernel(cnt_ref, st_ref, steps_ref, rng_ref, arng_ref,
+               st_o, steps_o, rng_o, arng_o, dcnt_o, cnt_o, chk_o, base_s):
+        gi = pl.program_id(0)
+
+        @pl.when(gi == 0)
+        def _():
+            base_s[0, 0] = cnt_ref[0, 0]
+
+        init = (
+            st_ref[0:1], st_ref[1:2], st_ref[2:3], st_ref[3:4],
+            steps_ref[:], rng_ref[:], arng_ref[:],
+            jnp.full((1, 1), base_s[0, 0], jnp.int32),
+            jnp.zeros((1, B), jnp.int32),
+            jnp.zeros((1, B), jnp.float32),
+        )
+
+        def body(_, carry):
+            t1, t2, w1, w2, steps, rng, w, base, dcnt, chk = carry
+            w = _lcg_next(w)
+            u24 = lax.shift_right_logical(w, 8) & jnp.int32(0x00FFFFFF)
+            a = lax.shift_right_logical(u24 * 3, 24)
+            (t1, t2, w1, w2, steps, rng), d32, base = step(
+                (t1, t2, w1, w2, steps, rng), a, base
+            )
+            chk = chk + t1 + t2 + w1 + w2 + d32.astype(jnp.float32)
+            dcnt = dcnt + d32
+            return (t1, t2, w1, w2, steps, rng, w, base, dcnt, chk)
+
+        out = lax.fori_loop(0, num_steps, body, init)
+        t1, t2, w1, w2, steps, rng, w, base, dcnt, chk = out
+        st_o[0:1], st_o[1:2], st_o[2:3], st_o[3:4] = t1, t2, w1, w2
+        steps_o[:] = steps
+        rng_o[:] = rng
+        arng_o[:] = w
+        dcnt_o[:] = dcnt
+        chk_o[:] = chk
+        base_s[0, 0] = base[0, 0]
+
+        @pl.when(gi == pl.num_programs(0) - 1)
+        def _():
+            cnt_o[0, 0] = base_s[0, 0]
+
+    return kernel
+
+
+PERSISTENT_MAX_BLOCK = 65_536
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_rollout(num_envs: int, block: int, num_steps: int,
+                      interpret: bool):
+    assert num_envs % block == 0, (num_envs, block)
+    grid = (num_envs // block,)
+    kernel = _build_rollout_kernel(block, num_steps)
+    rows = lambda r: pl.BlockSpec((r, block), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+    smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    sds = jax.ShapeDtypeStruct
+    call = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[smem11, rows(4), rows(1), rows(1), rows(1)],
+        out_specs=(rows(4), rows(1), rows(1), rows(1), rows(1), smem11,
+                   rows(1)),
+        out_shape=(
+            sds((4, num_envs), jnp.float32),
+            sds((1, num_envs), jnp.int32),
+            sds((1, num_envs), jnp.int32),
+            sds((1, num_envs), jnp.int32),
+            sds((1, num_envs), jnp.int32),
+            sds((1, 1), jnp.int32),
+            sds((1, num_envs), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def rollout(grid_st, steps, rng_i, counter, act_rng):
+        st, sp, rng2, arng2, dcnt, cnt, chk = call(
+            counter.reshape(1, 1).astype(jnp.int32), grid_st, steps, rng_i,
+            act_rng,
+        )
+        return st, sp, rng2, arng2, cnt[0, 0], dcnt[0], chk[0]
+
+    return rollout
+
+
+def fused_rollout(grid_st, steps, rng_i, counter, act_rng, num_steps: int,
+                  block: int = PERSISTENT_MAX_BLOCK,
+                  interpret: bool = False):
+    """T fused acrobot steps in ONE launch (multi-block grid); episode
+    indices allocate block-sequentially.  Returns (state', steps', rng',
+    act_rng', counter', done_count [N], checksum [N])."""
+    N = grid_st.shape[-1]
+    block = min(block, N, PERSISTENT_MAX_BLOCK)
+    return _compiled_rollout(N, block, num_steps, interpret)(
+        grid_st, steps, rng_i, counter, act_rng
+    )

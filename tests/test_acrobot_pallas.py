@@ -67,3 +67,72 @@ def test_acrobot_kernel_matches_jnp():
             err_msg=f"t={t} obs",
         )
     assert saw_done >= N, "staggered truncations must reset every world"
+
+
+def test_acrobot_persistent_rollout_matches_jnp():
+    """T-steps-in-one-launch kernel at 4 blocks: jnp reference replays the
+    block-sequential schedule with the identical in-kernel LCG torque
+    stream; steps pre-staggered near the 500-step truncation so episode
+    allocations happen densely."""
+    from madrona_rl_envs_playground_tpu.core.types import BatchState
+    from madrona_rl_envs_playground_tpu.ops.acrobot_pallas import (
+        action_lcg_next,
+        fused_rollout,
+        init_action_rng,
+    )
+
+    env = acrobot.Env()
+    N, T, BLOCK = 64, 50, 16
+    bstate0, _ = batched_reset(env, N)
+    staggered = bstate0.env_states.replace(
+        steps=(470 + jnp.arange(N, dtype=jnp.int32) % 40)
+    )
+    grid0, steps0, rng0 = pack_state(staggered)
+    w0 = init_action_rng(N, seed=0)
+
+    roll = jax.jit(lambda g, s, r, c, w: fused_rollout(
+        g, s, r, c, w, T, block=BLOCK, interpret=INTERP))
+    grid, steps, rng_i, arng, counter, dcnt, chk = roll(
+        grid0, steps0, rng0, jnp.int32(N), w0)
+
+    step_jnp = jax.jit(batched_step, static_argnums=(0,))
+    base = jnp.uint32(N)
+    finals, final_w = [], []
+    dref = np.zeros(N, np.int64)
+    cref = np.zeros(N, np.float64)
+    for b in range(N // BLOCK):
+        sl = slice(b * BLOCK, (b + 1) * BLOCK)
+        bs = BatchState(
+            env_states=jax.tree_util.tree_map(lambda x: x[sl], staggered),
+            episode_counter=base,
+        )
+        w = w0[:, sl]
+        for t in range(T):
+            w, a = action_lcg_next(w)
+            bs, out = step_jnp(env, bs, a.T)
+            st = bs.env_states
+            cref[sl] += (
+                np.asarray(st.theta1, np.float64)
+                + np.asarray(st.theta2, np.float64)
+                + np.asarray(st.omega1, np.float64)
+                + np.asarray(st.omega2, np.float64)
+                + np.asarray(out.done, np.float64)
+            )
+            dref[sl] += np.asarray(out.done)
+        base = bs.episode_counter
+        finals.append(bs.env_states)
+        final_w.append(np.asarray(w))
+
+    ref = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *finals)
+    assert int(counter) == int(base)
+    np.testing.assert_array_equal(np.asarray(dcnt), dref)
+    got = unpack_state(grid, steps, rng_i)
+    for f in ("theta1", "theta2", "omega1", "omega2", "steps", "rng_v"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+            err_msg=f"state.{f}",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(arng), np.concatenate(final_w, axis=1))
+    np.testing.assert_allclose(np.asarray(chk), cref, rtol=1e-4, atol=1e-2)
