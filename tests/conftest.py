@@ -23,13 +23,20 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-# Persistent compilation cache: recompiling the env step graphs dominates test
-# time otherwise (the analog of the reference's MADRONA_MWGPU_KERNEL_CACHE).
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO_ROOT, ".cache/jax")
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# Persistent compilation cache — TPU backend ONLY (remote compiles are
+# 20-90s there; the analog of the reference's MADRONA_MWGPU_KERNEL_CACHE).
+# On the CPU backend the cache is a net LOSS and, worse, jax's CPU
+# executable deserialization aborts the process on cache HITS for the
+# sharded+donated selfplay train_step (reproduced deterministically:
+# fresh-cache run passes, warm-cache rerun SIGABRTs in
+# test_multidevice.py::test_selfplay_train_step_sharded_equals_single),
+# so CPU runs stay cache-free.
+if os.environ.get("JAX_PLATFORMS", "") == "axon":
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO_ROOT, ".cache/jax")
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -180,3 +180,42 @@ def test_mappo_fused_collect_sharded_equals_single():
         jax.device_get(a.trainer.state.policy.actor_params),
         jax.device_get(b.trainer.state.policy.actor_params),
     )
+
+
+@need8
+def test_persistent_rollout_sharded_bitexact():
+    """The overcooked persistent whole-rollout kernel under shard_map over
+    the virtual mesh == single-device (overcooked resets are episode-index
+    free and action streams are per-env, so env-axis sharding is exact;
+    block == per-shard envs keeps the in-shard schedule identical)."""
+    from jax.sharding import PartitionSpec as PS
+
+    from madrona_rl_envs_playground_tpu.envs import overcooked
+    from madrona_rl_envs_playground_tpu.ops import overcooked_pallas as ok
+    from madrona_rl_envs_playground_tpu.parallel.mesh import ENV_AXIS
+
+    env = overcooked.make("cramped_room", horizon=12)
+    T = 30
+    ts0 = ok.init_packed(env, N)
+    w0 = ok.init_action_rng(N, env.num_players)
+
+    single = jax.jit(lambda ts, w: ok.fused_rollout(
+        env, ts, w, T, block=N // 8, interpret=True))
+    ts_a, w_a, dcnt_a, chk_a = single(ts0, w0)
+
+    mesh = make_mesh(8)
+    lanes = PS(None, ENV_AXIS)
+    sharded = jax.jit(jax.shard_map(
+        lambda ts, w: ok.fused_rollout(env, ts, w, T, block=N // 8,
+                                       interpret=True),
+        mesh=mesh, in_specs=(lanes, lanes),
+        out_specs=(lanes, lanes, PS(ENV_AXIS), PS(ENV_AXIS)),
+        check_vma=False,
+    ))
+    ts_b, w_b, dcnt_b, chk_b = sharded(ts0, w0)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        (ts_a, w_a, dcnt_a, chk_a), (ts_b, w_b, dcnt_b, chk_b),
+    )
