@@ -295,6 +295,14 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
     the fused megakernels where supported (default-on on TPU, measured
     faster), the jnp path elsewhere."""
     on_tpu = jax.default_backend() == "tpu"
+    if backend == "persistent" and name == "hanabi":
+        # never silently fall through to a different backend: the label on
+        # the JSON line must match the kernel that actually ran
+        raise SystemExit(
+            "no persistent whole-rollout kernel for hanabi (the per-seat "
+            "obs buffers exceed the per-block VMEM budget); use --backend "
+            "auto/pallas/jnp"
+        )
     if name == "hanabi" and backend != "jnp":
         from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import (
             fused_supported,

@@ -339,6 +339,12 @@ def fused_rollout(grid_st, steps, rng_i, counter, act_rng, num_steps: int,
     act_rng', counter', done_count [N], checksum [N])."""
     N = grid_st.shape[-1]
     block = min(block, N, PERSISTENT_MAX_BLOCK)
+    if N % block:
+        raise ValueError(
+            f"persistent rollout needs num_envs divisible by the env block "
+            f"({N} % {block} != 0); use a power-of-two env count or pass a "
+            f"block that divides it"
+        )
     return _compiled_rollout(N, block, num_steps, interpret)(
         grid_st, steps, rng_i, counter, act_rng
     )

@@ -371,6 +371,12 @@ def fused_rollout(loc, obs, time, rng_i, counter, act_rng, num_steps: int,
     checksum [N])``; episode indices allocate block-sequentially."""
     N = loc.shape[-1]
     block = min(block, N, PERSISTENT_MAX_BLOCK)
+    if N % block:
+        raise ValueError(
+            f"persistent rollout needs num_envs divisible by the env block "
+            f"({N} % {block} != 0); use a power-of-two env count or pass a "
+            f"block that divides it"
+        )
     return _compiled_rollout(N, block, num_steps, interpret)(
         loc, obs, time, rng_i, counter, act_rng
     )

@@ -90,6 +90,7 @@ def unpack_state(grid: Array, rng_i: Array) -> State:
 def _build_kernel(block: int):
     B = block
     f32 = jnp.float32
+    step = _make_step(block)
 
     def kernel(cnt_ref, st_ref, rng_ref, act_ref,
                st_o, rng_o, done_o, cnt_o, base_s):
@@ -99,10 +100,32 @@ def _build_kernel(block: int):
         def _():
             base_s[0, 0] = cnt_ref[0, 0]
 
-        x, xd = st_ref[0:1], st_ref[1:2]
-        th, thd = st_ref[2:3], st_ref[3:4]
-        v = rng_ref[:]
-        a = act_ref[:]
+        state = (st_ref[0:1], st_ref[1:2], st_ref[2:3], st_ref[3:4],
+                 rng_ref[:])
+        base = jnp.full((1, 1), base_s[0, 0], jnp.int32)
+        (x, xd, th, thd, v), d32, base = step(state, act_ref[:], base)
+        base_s[0, 0] = base[0, 0]
+
+        st_o[0:1], st_o[1:2], st_o[2:3], st_o[3:4] = x, xd, th, thd
+        rng_o[:] = v
+        done_o[:] = d32
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            cnt_o[0, 0] = base_s[0, 0]
+
+    return kernel
+
+
+def _make_step(block: int):
+    """Shared rows-form step (per-step kernel + persistent rollout):
+    state = (x, x_dot, theta, theta_dot, rng), base a [1, 1] running
+    episode counter.  Returns (state', d32, base')."""
+    B = block
+    f32 = jnp.float32
+
+    def step(state, a, base):
+        x, xd, th, thd, v = state
 
         force = jnp.where(a == 1, f32(10.0), f32(-10.0))
         costh = jnp.cos(th)
@@ -131,9 +154,8 @@ def _build_kernel(block: int):
             ps = ps + jnp.where(lane >= k, pltpu.roll(ps, shift=k, axis=1), 0)
             k *= 2
         total = jnp.sum(d32, axis=1, keepdims=True)  # [1,1]
-        base = base_s[0, 0]
         eps = base + (ps - d32)  # [1,B] episode index per resetting env
-        base_s[0, 0] = base + total[0, 0]
+        base2 = base + total[0:1, 0:1]
 
         # fresh episode: TEA seed + 4 LCG draws (sim.cpp:47-66)
         s = _tea_seed(eps)
@@ -142,23 +164,17 @@ def _build_kernel(block: int):
         v2 = _lcg_next(v1)
         v3 = _lcg_next(v2)
         v4 = _lcg_next(v3)
-        fx = lo + _unif(v1) * rng_w
-        fxd = lo + _unif(v2) * rng_w
-        fth = lo + _unif(v3) * rng_w
-        fthd = lo + _unif(v4) * rng_w
 
-        st_o[0:1] = jnp.where(done, fx, x2)
-        st_o[1:2] = jnp.where(done, fxd, xd2)
-        st_o[2:3] = jnp.where(done, fth, th2)
-        st_o[3:4] = jnp.where(done, fthd, thd2)
-        rng_o[:] = jnp.where(done, v4, v)
-        done_o[:] = d32
+        nstate = (
+            jnp.where(done, lo + _unif(v1) * rng_w, x2),
+            jnp.where(done, lo + _unif(v2) * rng_w, xd2),
+            jnp.where(done, lo + _unif(v3) * rng_w, th2),
+            jnp.where(done, lo + _unif(v4) * rng_w, thd2),
+            jnp.where(done, v4, v),
+        )
+        return nstate, d32, base2
 
-        @pl.when(i == pl.num_programs(0) - 1)
-        def _():
-            cnt_o[0, 0] = base_s[0, 0]
-
-    return kernel
+    return step
 
 
 @functools.lru_cache(maxsize=None)
@@ -247,8 +263,8 @@ def init_packed(num_envs: int, start_episode: int = 0):
 
 def _build_rollout_kernel(block: int, num_steps: int):
     B = block
-    f32 = jnp.float32
     srl = lax.shift_right_logical
+    step = _make_step(block)
 
     def kernel(cnt_ref, st_ref, rng_ref, arng_ref,
                st_o, rng_o, arng_o, done_cnt_o, cnt_o, chk_o, base_s):
@@ -258,8 +274,6 @@ def _build_rollout_kernel(block: int, num_steps: int):
         def _():
             base_s[0, 0] = cnt_ref[0, 0]
 
-        lane = lax.broadcasted_iota(jnp.int32, (1, B), 1)
-
         def body(_, carry):
             x, xd, th, thd, v, w, base, dcnt, chk = carry
 
@@ -268,45 +282,9 @@ def _build_rollout_kernel(block: int, num_steps: int):
             w2 = _lcg_next(w)
             a = srl(w2, 23) & 1
 
-            force = jnp.where(a == 1, f32(10.0), f32(-10.0))
-            costh = jnp.cos(th)
-            sinth = jnp.sin(th)
-            temp = (force + f32(0.05) * thd * thd * sinth) / f32(1.1)
-            thacc = (f32(9.8) * sinth - costh * temp) / (
-                f32(0.5) * (f32(4.0 / 3.0) - f32(0.1) * costh * costh / f32(1.1))
+            (x3, xd3, th3, thd3, v5), d32, base = step(
+                (x, xd, th, thd, v), a, base
             )
-            xacc = temp - f32(0.05) * thacc * costh / f32(1.1)
-            x2 = x + f32(0.02) * xd
-            xd2 = xd + f32(0.02) * xacc
-            th2 = th + f32(0.02) * thd
-            thd2 = thd + f32(0.02) * thacc
-
-            done = (
-                (x2 < f32(-X_THRESHOLD)) | (x2 > f32(X_THRESHOLD))
-                | (th2 < f32(-THETA_THRESHOLD)) | (th2 > f32(THETA_THRESHOLD))
-            )
-            d32 = done.astype(jnp.int32)
-
-            ps = d32
-            k = 1
-            while k < B:
-                ps = ps + jnp.where(lane >= k, pltpu.roll(ps, shift=k, axis=1), 0)
-                k *= 2
-            eps = base + (ps - d32)
-            base = base + jnp.sum(d32, axis=1, keepdims=True)
-
-            s = _tea_seed(eps)
-            lo, rng_w = f32(-0.05), f32(0.1)
-            v1 = _lcg_next(s)
-            v2 = _lcg_next(v1)
-            v3 = _lcg_next(v2)
-            v4 = _lcg_next(v3)
-
-            x3 = jnp.where(done, lo + _unif(v1) * rng_w, x2)
-            xd3 = jnp.where(done, lo + _unif(v2) * rng_w, xd2)
-            th3 = jnp.where(done, lo + _unif(v3) * rng_w, th2)
-            thd3 = jnp.where(done, lo + _unif(v4) * rng_w, thd2)
-            v5 = jnp.where(done, v4, v)
 
             # per-step output consumption (bench checksum discipline): the
             # exported obs IS the state, so fold x + done into per-env
@@ -392,6 +370,13 @@ def fused_rollout(grid_st: Array, rng_i: Array, act_rng: Array, counter,
     """
     N = grid_st.shape[-1]
     block = min(block, N, PERSISTENT_MAX_BLOCK)
+    if N % block:
+        raise ValueError(
+            f"persistent rollout needs num_envs divisible by the env block "
+            f"({N} % {block} != 0); use a power-of-two env count or pass a "
+            f"block that divides it (Mosaic also requires block % 128 == 0 "
+            f"or block == num_envs on real TPU)"
+        )
     return _compiled_rollout(N, block, num_steps, interpret)(
         grid_st, rng_i, act_rng, counter
     )

@@ -639,23 +639,14 @@ def fused_step(env: OvercookedEnv, ts: TState, actions_t: Array,
 # README's methodology column labels the two separately.
 #
 # The action draw replicates the reference oracle's ``int(n * rand24())``
-# truncation: u24 = bits 8..31 of the LCG state, action = (u24 * 6) >> 24.
-
-_LCG_MUL = 1664525
-_LCG_INC = 1013904223
-_TEA_DELTA = 0x9E3779B9
-_TEA_K = (0xA341316C, 0xC8013EA4, 0xAD90777D, 0x7E95761E)
-
-
-def _i32const(x: int):
-    return jnp.int32(x - (1 << 32) if x >= (1 << 31) else x)
-
-
-def _act_lcg_next(w: Array) -> Array:
-    return w * _i32const(_LCG_MUL) + _i32const(_LCG_INC)
+# truncation: u24 = bits 8..31 of the LCG state, action = (u24 * n) >> 24.
+# RNG primitives are shared with the other kernels (cartpole_pallas) so the
+# constants and round count cannot drift per-module.
 
 
 def _act_from(w: Array, num_actions: int) -> Array:
+    from .cartpole_pallas import _i32  # noqa: F401  (shared constants home)
+
     u24 = jax.lax.shift_right_logical(w, 8) & jnp.int32(0x00FFFFFF)
     return jax.lax.shift_right_logical(u24 * num_actions, 24)
 
@@ -663,34 +654,26 @@ def _act_from(w: Array, num_actions: int) -> Array:
 def action_lcg_next(w: Array, num_actions: int = 6):
     """Advance the in-kernel action stream one step (exposed so the
     differential test can drive the jnp path with the identical actions)."""
-    w2 = _act_lcg_next(w)
+    from .cartpole_pallas import _lcg_next
+
+    w2 = _lcg_next(w)
     return w2, _act_from(w2, num_actions)
 
 
 def init_action_rng(num_envs: int, num_players: int, seed: int = 0) -> Array:
-    """[P, N] per-(env, player) action-LCG seeds via one TEA round pair
-    (stream tag keeps it disjoint from any episode-RNG stream)."""
+    """[P, N] per-(env, player) action-LCG seeds: the shared 8-round TEA
+    over a tagged stream (xor tag keeps it disjoint from any episode-RNG
+    stream)."""
+    from .cartpole_pallas import _i32, _tea_seed
+
     idx = (jnp.arange(num_players * num_envs, dtype=jnp.int32)
            + jnp.int32(seed * num_players * num_envs))
-    v0 = idx ^ _i32const(0x0C00CED5)
-    v1 = jnp.int32(0)
-    s = jnp.int32(0)
-    for _ in range(4):
-        s = s + _i32const(_TEA_DELTA)
-        v0 = v0 + (
-            ((v1 << 4) + _i32const(_TEA_K[0]))
-            ^ (v1 + s) ^ (jax.lax.shift_right_logical(v1, 5)
-                          + _i32const(_TEA_K[1]))
-        )
-        v1 = v1 + (
-            ((v0 << 4) + _i32const(_TEA_K[2]))
-            ^ (v0 + s) ^ (jax.lax.shift_right_logical(v0, 5)
-                          + _i32const(_TEA_K[3]))
-        )
-    return v0.reshape(num_players, num_envs)
+    return _tea_seed(idx ^ _i32(0x0C00CED5)).reshape(num_players, num_envs)
 
 
 def _build_rollout_kernel(env: OvercookedEnv, block: int, num_steps: int):
+    from .cartpole_pallas import _lcg_next
+
     B = block
     S, P = env.size, env.num_players
     A = env.num_actions
@@ -738,7 +721,7 @@ def _build_rollout_kernel(env: OvercookedEnv, block: int, num_steps: int):
         def body(_, carry):
             state = carry[:11]
             arng, dcnt, chk = carry[11], carry[12], carry[13]
-            arng = [_act_lcg_next(w) for w in arng]
+            arng = [_lcg_next(w) for w in arng]
             act = [_act_from(w, A) for w in arng]
             state, reward, done, pos_oh, obj_ch = transition(state, act)
             # consume every output in-VMEM (bench checksum discipline):
@@ -837,4 +820,10 @@ def fused_rollout(env: OvercookedEnv, ts: TState, act_rng: Array,
     """
     N = ts.pos.shape[-1]
     block = min(block, N)
+    if N % block:
+        raise ValueError(
+            f"persistent rollout needs num_envs divisible by the env block "
+            f"({N} % {block} != 0); use a power-of-two env count or pass a "
+            f"block that divides it"
+        )
     return _compiled_rollout(env, N, block, num_steps, interpret)(ts, act_rng)

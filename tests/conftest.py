@@ -23,8 +23,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-# Persistent compilation cache — TPU backend ONLY (remote compiles are
-# 20-90s there; the analog of the reference's MADRONA_MWGPU_KERNEL_CACHE).
+# Persistent compilation cache — axon-tunnel backend ONLY (remote compiles
+# are 20-90s there; the analog of the reference's MADRONA_MWGPU_KERNEL_CACHE).
+# A plain local TPU (JAX_PLATFORMS=tpu) intentionally gets no cache too:
+# only the tunnel's remote-compile latency justifies the risk below.
 # On the CPU backend the cache is a net LOSS and, worse, jax's CPU
 # executable deserialization aborts the process on cache HITS for the
 # sharded+donated selfplay train_step (reproduced deterministically:

@@ -82,7 +82,10 @@ def test_acrobot_persistent_rollout_matches_jnp():
     )
 
     env = acrobot.Env()
-    N, T, BLOCK = 64, 50, 16
+    # Mosaic requires the lane block to be %128 (or == N); interpret mode
+    # has no such constraint, so CPU keeps the small multi-block shape
+    N, BLOCK = (64, 16) if INTERP else (512, 128)
+    T = 50
     bstate0, _ = batched_reset(env, N)
     staggered = bstate0.env_states.replace(
         steps=(470 + jnp.arange(N, dtype=jnp.int32) % 40)
