@@ -185,7 +185,8 @@ def cartpole_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
     return jax.jit(run)
 
 
-def cartpole_persistent_rollout_fn(num_envs: int, num_steps: int):
+def cartpole_persistent_rollout_fn(num_envs: int, num_steps: int,
+                                   block: int):
     """Whole-rollout-in-one-kernel cartpole (ops/cartpole_pallas
     ``fused_rollout``): T steps per launch, state resident in VMEM, actions
     drawn in-kernel from a per-env LCG (the uniform random-action discipline
@@ -199,7 +200,7 @@ def cartpole_persistent_rollout_fn(num_envs: int, num_steps: int):
     def run(carry, _out, key):
         grid, rng_i, arng, cnt = carry
         grid, rng_i, arng, cnt, dcnt, chk = fused_rollout(
-            grid, rng_i, arng, cnt, num_steps, interpret=interp
+            grid, rng_i, arng, cnt, num_steps, block=block, interpret=interp
         )
         return (grid, rng_i, arng, cnt), None, (
             chk.sum() + dcnt.astype(jnp.float32).sum()
@@ -208,7 +209,8 @@ def cartpole_persistent_rollout_fn(num_envs: int, num_steps: int):
     return jax.jit(run)
 
 
-def balance_persistent_rollout_fn(num_envs: int, num_steps: int):
+def balance_persistent_rollout_fn(num_envs: int, num_steps: int,
+                                  block: int):
     """Whole-rollout-in-one-kernel Balance Beam (ops/balance_pallas
     ``fused_rollout``): T steps per launch per block, in-kernel per-seat
     action LCG, obs/reward/done consumed via in-VMEM per-env accumulators
@@ -222,7 +224,8 @@ def balance_persistent_rollout_fn(num_envs: int, num_steps: int):
     def run(carry, _out, key):
         loc, obs, time, rng_i, cnt, arng = carry
         loc, obs, time, rng_i, arng, cnt, dcnt, chk = fused_rollout(
-            loc, obs, time, rng_i, cnt, arng, num_steps, interpret=interp
+            loc, obs, time, rng_i, cnt, arng, num_steps, block=block,
+            interpret=interp
         )
         return (loc, obs, time, rng_i, cnt, arng), None, (
             chk.sum() + dcnt.astype(jnp.float32).sum()
@@ -293,11 +296,38 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
                   backend: str = "auto", block: int = 1024):
     """(initial_state, initial_out, jitted_run) with backend selection:
     the fused megakernels where supported (default-on on TPU, measured
-    faster), the jnp path elsewhere."""
+    faster), the jnp path elsewhere.
+
+    Explicit ``--backend pallas/persistent`` NEVER silently falls through
+    to a different implementation — the backend label on the JSON line
+    must match the kernel that actually ran — and kernel env-blocks are
+    validated up front (``ops.pick_block``): auto mode falls back to jnp
+    for batch sizes the kernels cannot partition, explicit modes exit
+    with guidance instead of tripping an assert inside a kernel builder.
+    """
+    from madrona_rl_envs_playground_tpu.ops import pick_block
+
     on_tpu = jax.default_backend() == "tpu"
+    explicit = backend in ("pallas", "persistent")
+
+    def need_block(desired, what):
+        b = pick_block(num_envs, desired, on_tpu=on_tpu)
+        if b is None and explicit:
+            raise SystemExit(
+                f"--backend {backend}: {what} has no valid kernel env-block "
+                f"for num_envs={num_envs} (needs a divisor, and a multiple "
+                f"of 128 lanes on TPU unless it equals num_envs); use a "
+                f"power-of-two env count or --backend jnp"
+            )
+        return b  # None => auto falls back to the jnp path
+
+    def unsupported(msg):
+        if explicit:
+            raise SystemExit(f"--backend {backend}: {msg}; use --backend "
+                             f"auto/jnp")
+        return None
+
     if backend == "persistent" and name == "hanabi":
-        # never silently fall through to a different backend: the label on
-        # the JSON line must match the kernel that actually ran
         raise SystemExit(
             "no persistent whole-rollout kernel for hanabi (the per-seat "
             "obs buffers exceed the per-block VMEM budget); use --backend "
@@ -309,51 +339,66 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
             init_packed,
         )
 
-        if fused_supported(env) and (backend == "pallas" or on_tpu):
-            carry = init_packed(env, num_envs)
-            return carry, None, hanabi_pallas_rollout_fn(
-                env, num_envs, num_steps, min(block, num_envs)
-            )
+        if not fused_supported(env):
+            unsupported("the hanabi megakernel covers 2-player configs "
+                        "only (the reference's NUM_MOVES=20 envelope)")
+        elif backend == "pallas" or on_tpu:
+            b = need_block(min(block, num_envs), "hanabi megakernel")
+            if b is not None:
+                carry = init_packed(env, num_envs)
+                return carry, None, hanabi_pallas_rollout_fn(
+                    env, num_envs, num_steps, b
+                )
     if name == "balance" and backend == "persistent":
         from madrona_rl_envs_playground_tpu.ops.balance_pallas import (
+            PERSISTENT_MAX_BLOCK,
             init_action_rng,
             init_packed,
         )
 
+        b = need_block(PERSISTENT_MAX_BLOCK, "balance persistent rollout")
         loc, obs, time, rng_i, cnt = init_packed(num_envs)
         carry = (loc, obs, time, rng_i, cnt, init_action_rng(num_envs))
-        return carry, None, balance_persistent_rollout_fn(num_envs, num_steps)
+        return carry, None, balance_persistent_rollout_fn(num_envs, num_steps,
+                                                          b)
     if name == "balance" and backend != "jnp" and (
         backend == "pallas" or on_tpu
     ):
-        from madrona_rl_envs_playground_tpu.ops.balance_pallas import (
-            init_packed,
-        )
+        b = need_block(min(max(block, 8192), num_envs), "balance megakernel")
+        if b is not None:
+            from madrona_rl_envs_playground_tpu.ops.balance_pallas import (
+                init_packed,
+            )
 
-        carry = init_packed(num_envs)
-        return carry, None, balance_pallas_rollout_fn(
-            num_envs, num_steps, min(max(block, 8192), num_envs)
-        )
+            carry = init_packed(num_envs)
+            return carry, None, balance_pallas_rollout_fn(
+                num_envs, num_steps, b
+            )
     if name == "cartpole" and backend == "persistent":
         from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
+            PERSISTENT_MAX_BLOCK,
             init_action_rng,
             init_packed,
         )
 
+        b = need_block(PERSISTENT_MAX_BLOCK, "cartpole persistent rollout")
         g0, r0, c0 = init_packed(num_envs)
         carry = (g0, r0, init_action_rng(num_envs), c0)
-        return carry, None, cartpole_persistent_rollout_fn(num_envs, num_steps)
+        return carry, None, cartpole_persistent_rollout_fn(num_envs,
+                                                           num_steps, b)
     if name == "cartpole" and backend != "jnp" and (
         backend == "pallas" or on_tpu
     ):
-        from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
-            init_packed,
-        )
+        b = need_block(min(max(block, 8192), num_envs), "cartpole megakernel")
+        if b is not None:
+            from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
+                init_packed,
+            )
 
-        carry = init_packed(num_envs)
-        return carry, None, cartpole_pallas_rollout_fn(
-            num_envs, num_steps, min(max(block, 8192), num_envs)
-        )
+            carry = init_packed(num_envs)
+            return carry, None, cartpole_pallas_rollout_fn(
+                num_envs, num_steps, b
+            )
     if name in ("overcooked", "overcooked2") and backend == "persistent":
         from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
             fused_supported,
@@ -366,29 +411,29 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
                 "--backend persistent requires a fused-kernel-supported "
                 "layout (<=100 cells, <=4 players)"
             )
+        b = need_block(min(block, num_envs), "overcooked persistent rollout")
         carry = (init_packed(env, num_envs),
                  init_action_rng(num_envs, env.num_agents))
         return carry, None, overcooked_persistent_rollout_fn(
-            env, num_envs, num_steps, min(block, num_envs)
+            env, num_envs, num_steps, b
         )
-    use_pallas = False
     if name in ("overcooked", "overcooked2") and backend != "jnp":
         from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
             fused_supported,
-        )
-
-        use_pallas = fused_supported(env) and (
-            backend == "pallas" or jax.default_backend() == "tpu"
-        )
-    if use_pallas:
-        from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
             init_packed,
         )
 
-        bstate = init_packed(env, num_envs)
-        return bstate, None, pallas_rollout_fn(
-            env, num_envs, num_steps, min(block, num_envs)
-        )
+        if not fused_supported(env):
+            unsupported("the overcooked megakernel covers <=100-cell, "
+                        "<=4-player layouts (many_player-scale grids use "
+                        "the jnp gather path)")
+        elif backend == "pallas" or on_tpu:
+            b = need_block(min(block, num_envs), "overcooked megakernel")
+            if b is not None:
+                bstate = init_packed(env, num_envs)
+                return bstate, None, pallas_rollout_fn(
+                    env, num_envs, num_steps, b
+                )
     sim = Simulator(env, num_envs)
     return sim.bstate, sim.last_out, rollout_fn(
         env, num_envs, num_steps, masked=(name == "hanabi")

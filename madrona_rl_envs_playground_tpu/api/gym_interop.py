@@ -39,7 +39,14 @@ class _VecGymBase:
 
     def __init__(self, num_envs: int):
         self.num_envs = num_envs
-        self.infos = [{}] * num_envs
+
+    @property
+    def infos(self):
+        # fresh, DISTINCT dicts every step: SB3-style consumers write
+        # per-env keys (e.g. infos[i]["terminal_observation"]); a shared
+        # dict ([{}] * n) or reused list would alias those writes across
+        # envs and across steps
+        return [{} for _ in range(self.num_envs)]
 
     def close(self, **kwargs):
         pass

@@ -462,7 +462,6 @@ class OvercookedEnv(EnvBase):
             cols[7] = cols[7] + (soup & ~pot).astype(jnp.int32)
             cols[8] = cols[8] + (on == O_DISH).astype(jnp.int32)
             cols[9] = cols[9] + (on == O_ONION).astype(jnp.int32)
-        shared_k = jnp.stack(cols, axis=1)  # [S, K]
 
         # Held-object writes land in the object block at each holder's cell.
         hn = state.held_name
@@ -572,7 +571,7 @@ class OvercookedEnv(EnvBase):
             held_k = jnp.zeros((S, K), jnp.int32).at[
                 state.pos[:, None], ch_slots
             ].add(vals, mode="drop")
-            shared_k = shared_k + held_k  # [S, K]
+            shared_k = jnp.stack(cols, axis=1) + held_k  # [S, K]
 
             ii = jnp.asarray(np.repeat(np.arange(P), P))          # observer idx
             jj = jnp.asarray(np.tile(np.arange(P), P))            # player idx

@@ -46,16 +46,20 @@ from ..envs.hanabi import (
 
 Array = jnp.ndarray
 
-_LCG_A = 1664525
-_LCG_C = 1013904223
-_TEA_DELTA = 0x9E3779B9
-_K0, _K1, _K2, _K3 = 0xA341316C, 0xC8013EA4, 0xAD90777D, 0x7E95761E
-_MASK24 = 0x00FFFFFF
-_INV_2_24 = 1.0 / float(0x01000000)
-
-
-def _i32c(x: int):
-    return jnp.int32(x - (1 << 32) if x >= (1 << 31) else x)
+# RNG constants + int32 helper shared with the other kernels so they cannot
+# drift per-module (bit-parity with core/rng.py rests on these)
+from .cartpole_pallas import (  # noqa: E402
+    _INV_2_24,
+    _K0,
+    _K1,
+    _K2,
+    _K3,
+    _LCG_A,
+    _LCG_C,
+    _MASK24,
+    _TEA_DELTA,
+    _i32 as _i32c,
+)
 
 
 def fused_supported(env: Env) -> bool:

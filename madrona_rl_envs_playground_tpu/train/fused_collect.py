@@ -63,13 +63,24 @@ def make_fused_collect(env, num_envs: int, *, block: int = 1024,
     without knowing later devices' reset counts — they return None here and
     mesh runs use the XLA-sharded jnp path instead.
     """
+    from ..ops import pick_block
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kind = type(env).__module__.rsplit(".", 1)[-1]
+    # batch sizes the kernels cannot partition (no divisor that is %128 on
+    # real TPU) fall back to the jnp path instead of tripping a builder
+    # assert — this is the auto-enable path, it must never hard-fail
+    per_shard = num_envs if mesh is None else num_envs // max(mesh.size, 1)
+    block = pick_block(per_shard, min(block, per_shard),
+                       on_tpu=jax.default_backend() == "tpu")
+    if block is None:
+        return None
     if mesh is not None:
         if kind != "overcooked_base":
             return None
-        assert num_envs % mesh.size == 0, (num_envs, mesh.size)
+        if num_envs % mesh.size:
+            return None
         return _overcooked_collect(env, num_envs, block, interpret, mesh)
     if kind == "overcooked_base":
         return _overcooked_collect(env, num_envs, block, interpret)
@@ -230,7 +241,14 @@ def _hanabi_collect(env, num_envs, block, interpret):
     if not hk.fused_supported(env):
         return None
     P = env.players
-    block = min(block, 512)  # the hanabi kernel's VMEM envelope caps at 512
+    from ..ops import pick_block
+
+    # the hanabi kernel's VMEM envelope caps the block at 512; re-validate
+    # divisibility after the clamp (caller validated the pre-clamp block)
+    block = pick_block(num_envs, min(block, 512),
+                       on_tpu=jax.default_backend() == "tpu")
+    if block is None:
+        return None
 
     def pack(bstate: BatchState):
         return (hk.pack_state(env, bstate.env_states),
