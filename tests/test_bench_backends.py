@@ -36,3 +36,15 @@ def test_backend_route_runs(name, backend, num_envs):
     # a second call continues from the carry (the bench repeat loop)
     bstate, out, s2 = run(bstate, out, jax.random.PRNGKey(1))
     assert np.isfinite(float(s2))
+
+
+def test_pick_block():
+    from madrona_rl_envs_playground_tpu.ops import pick_block
+
+    assert pick_block(8192, 1024) == 1024          # divides cleanly
+    assert pick_block(4608, 1024) == 512           # gcd fallback, %128
+    assert pick_block(100000, 8192) is None        # gcd=32, not %128 on TPU
+    assert pick_block(100000, 8192, on_tpu=False) == 32
+    assert pick_block(64, 2048) == 64              # whole batch is exempt
+    assert pick_block(100, 2048) == 100
+    assert pick_block(98304, 65536) == 32768       # 3*2^15 meets 2^16
