@@ -22,7 +22,9 @@ INTERP = jax.default_backend() != "tpu"
 
 def test_acrobot_kernel_matches_jnp():
     env = acrobot.Env()
-    N = 64
+    # Mosaic requires the lane block to be %128 (or == N); interpret mode
+    # has no such constraint, so CPU keeps the small multi-block shape
+    N, BLOCK = (64, 16) if INTERP else (256, 128)
     bstate, out = batched_reset(env, N)
     # stagger steps near the 500 truncation so resets happen densely
     staggered = bstate.env_states.replace(
@@ -39,7 +41,7 @@ def test_acrobot_kernel_matches_jnp():
 
     step_jnp = jax.jit(batched_step, static_argnums=(0,))
     step_pal = jax.jit(
-        lambda g, s, r, c, a: fused_step(g, s, r, c, a, block=16,
+        lambda g, s, r, c, a: fused_step(g, s, r, c, a, block=BLOCK,
                                          interpret=INTERP)
     )
     rs = np.random.RandomState(4)

@@ -22,7 +22,9 @@ INTERP = jax.default_backend() != "tpu"
 
 def test_balance_kernel_matches_jnp():
     env = balance_beam.Env()
-    N = 64
+    # Mosaic requires the lane block to be %128 (or == N); interpret mode
+    # has no such constraint, so CPU keeps the small multi-block shape
+    N, BLOCK = (64, 16) if INTERP else (256, 128)
     bstate, out = batched_reset(env, N)
     packed = pack_state(bstate.env_states)
     counter = jnp.int32(N)
@@ -34,7 +36,7 @@ def test_balance_kernel_matches_jnp():
 
     step_jnp = jax.jit(batched_step, static_argnums=(0,))
     step_pal = jax.jit(
-        lambda l, o, t, r, c, a: fused_step(l, o, t, r, c, a, block=16,
+        lambda l, o, t, r, c, a: fused_step(l, o, t, r, c, a, block=BLOCK,
                                             interpret=INTERP)
     )
     loc, obs, time, rng_i = packed
