@@ -12,12 +12,20 @@ source: ``envs/hanabi.py`` (itself bit-parity with
 reveal legality scans dead hand slots).
 
 Layout follows ``overcooked_pallas``: the env batch rides the lanes; every
-per-env scalar is a ``[1, B]`` row, tiny game arrays (deck 50, hands P*H,
-discard piles C*R) are python lists of rows, and the per-seat obs/own/mask
-buffers are ``[P, bits, B]`` int8 blocks assembled by one big axis-0 concat
-per seat, with the stale-seat rule applied as a single whole-block select
-(``where(refresh_p, fresh, old)``).  The episode counter crosses blocks via
-SMEM scratch + a lane prefix sum, exactly like ``cartpole_pallas``.
+per-env scalar is a ``[1, B]`` row; hands/knowledge stay python lists of
+rows (they are indexed by static ``(player, slot)``), while the deck
+(``[M, B]``), discard piles (``[CR, B]``), fireworks (``[C, B]``) and every
+observation/mask section live as **multi-row sublane blocks**: one-hot and
+thermometer bits come from a single ``broadcasted_iota`` compare per
+section instead of one ``[1, B]`` compare per bit, so the VPU's 8 sublanes
+all do useful work (the row-per-bit form left 7/8 idle — measured
+VPU-compute-bound, not HBM-bound).  The per-seat obs/own/mask buffers are
+``[P, bits, B]`` int8 blocks assembled by one axis-0 concat per seat, with
+the stale-seat rule applied as an int8 bitwise blend
+(``old ^ ((old ^ new) & refresh_mask)`` — Mosaic lowers neither bool
+selects over i8 blocks nor i8 multiplies).  The episode counter crosses
+blocks via SMEM scratch + a lane prefix sum, exactly like
+``cartpole_pallas``.
 
 Bit-exactness vs the jnp ``batched_step`` is enforced by
 ``tests/test_hanabi_megakernel.py`` (interpret on CPU, compiled on TPU).
@@ -142,9 +150,7 @@ def _build_kernel(env: Env, block: int):
     OWN = H * BPC
     D = P * H
     max_info, max_life = env.max_info, env.max_life
-    deck0 = [int(x) for x in env._deck0]
-    disc_ids = [int(x) for x in env._discard_ids]
-    disc_thr = [int(x) for x in env._discard_thr]
+    deck0 = [int(x) for x in env._deck0]  # scalar constants for `moved`
     cr_num = env.cr_num
     cpc = env.cards_per_color
     VALID = (1 << BPC) - 1
@@ -172,9 +178,15 @@ def _build_kernel(env: Env, block: int):
             base_s[0, 0] = cnt_ref[0, 0]
 
         i32 = lambda b: b.astype(jnp.int32)
-        deck = [deck_ref[m:m + 1] for m in range(M)]
-        disc = [disc_ref[c:c + 1] for c in range(CR)]
-        fw = [fw_ref[c:c + 1] for c in range(C)]
+        # multi-row iota columns: one compare against these covers a whole
+        # one-hot/thermometer section in ceil(n/8) sublane tiles (generated
+        # in-kernel — captured array constants crash the tunnel's Mosaic)
+        iob = lambda n: lax.broadcasted_iota(jnp.int32, (n, B), 0)
+        ioM, ioC, ioR = iob(M), iob(C), iob(R)
+        ioCR, ioH, ioBPC = iob(CR), iob(H), iob(BPC)
+        deckb = deck_ref[:]   # [M, B]
+        discb = disc_ref[:]   # [CR, B]
+        fwb = fw_ref[:]       # [C, B]
         hc = [[hc_ref[p * H + h:p * H + h + 1] for h in range(H)] for p in range(P)]
         hp = [[hp_ref[p * H + h:p * H + h + 1] for h in range(H)] for p in range(P)]
         hs = [hs_ref[p:p + 1] for p in range(P)]
@@ -216,15 +228,14 @@ def _build_kernel(env: Env, block: int):
         card_color = card // R
         card_rank = card % R
 
-        fwc = sel_p(fw, card_color)  # fireworks[card_color]
+        # fireworks[card_color] via masked sublane reduce over the [C, B] block
+        fwc = jnp.sum(fwb * (ioC == card_color), axis=0, keepdims=True)
         success = is_play & (fwc == card_rank)
         completed = success & (fwc + 1 == R)
         failed = is_play & ~success
 
-        for c in range(CR):
-            disc[c] = disc[c] + i32((is_discard | failed) & (card == c))
-        for c in range(C):
-            fw[c] = fw[c] + i32(success & (card_color == c))
+        discb = discb + i32((is_discard | failed) & (ioCR == card))
+        fwb = fwb + i32(success & (ioC == card_color))
         info = info + i32(is_discard) + i32(completed)
         life = life - i32(failed)
 
@@ -279,13 +290,11 @@ def _build_kernel(env: Env, block: int):
         u = (v1 & _i32c(_MASK24)).astype(jnp.float32) * jnp.float32(_INV_2_24)
         loc = (deck_size.astype(jnp.float32) * u).astype(jnp.int32)
         v = jnp.where(draw_now, v1, v)
-        drawn = jnp.zeros_like(loc)
-        last = jnp.zeros_like(loc)
-        for m in range(M):
-            drawn = jnp.where(loc == m, deck[m], drawn)
-            last = jnp.where(deck_size - 1 == m, deck[m], last)
-        for m in range(M):
-            deck[m] = jnp.where(draw_now & (loc == m), last, deck[m])
+        at_loc = ioM == loc  # [M, B], exactly one hit (or none when empty)
+        drawn = jnp.sum(deckb * at_loc, axis=0, keepdims=True)
+        last = jnp.sum(deckb * (ioM == deck_size - 1), axis=0, keepdims=True)
+        deckb = jnp.where(draw_now & at_loc, jnp.broadcast_to(last, (M, B)),
+                          deckb)
         deck_size = deck_size - i32(draw_now)
 
         shift_now = took & deck_empty
@@ -315,9 +324,7 @@ def _build_kernel(env: Env, block: int):
             hs[p] = hs[p] - i32(in_p & shift_now)
 
         # ---- checkDone --------------------------------------------------
-        fwsum = fw[0]
-        for c in range(1, C):
-            fwsum = fwsum + fw[c]
+        fwsum = jnp.sum(fwb, axis=0, keepdims=True)
         new_score = jnp.where(life > 0, fwsum, 0)
         rew = new_score - score
         score = new_score
@@ -374,15 +381,14 @@ def _build_kernel(env: Env, block: int):
         a_D, c_D = skip_consts[D - 1]
         fresh_v = _i32c(a_D) * seed + _i32c(c_D)
 
-        for m in range(M):
-            fd = jnp.full_like(locs[0], deck0[m])
-            for j in range(D):
-                fd = jnp.where(locs[j] == m, moved[j], fd)
-            deck[m] = jnp.where(done, fd, deck[m])
-        for c in range(CR):
-            disc[c] = jnp.where(done, 0, disc[c])
-        for c in range(C):
-            fw[c] = jnp.where(done, 0, fw[c])
+        # fresh deck in one [M, B] block: deck0[m] == orig_card(m) (both walk
+        # the (color, rank, copies) order), overridden by the D swap writes
+        fd = orig_card(ioM)
+        for j in range(D):
+            fd = jnp.where(ioM == locs[j], moved[j], fd)
+        deckb = jnp.where(done, fd, deckb)
+        discb = jnp.where(done, 0, discb)
+        fwb = jnp.where(done, 0, fwb)
         for p in range(P):
             for h in range(H):
                 hc[p][h] = jnp.where(done, fresh_cards[p * H + h], hc[p][h])
@@ -408,122 +414,108 @@ def _build_kernel(env: Env, block: int):
         reveal_bits = jnp.where(done, 0, reveal_bits)
 
         # ---- encode (envs/hanabi.py::_encode_seat / _mask_seat) ---------
-        # rows build in i32 (i8*i8 multiplies crash the tunnel's Mosaic
-        # helper); the blend with the stale buffer runs in i32 and casts
-        # to i8 once at the store
-        i8 = lambda b: b.astype(jnp.int32)
+        # whole sections per op: each one-hot/thermometer block is ONE iota
+        # compare on [n, B] (all 8 sublanes useful) instead of n [1, B] rows
+        i8b = lambda b: b.astype(jnp.int8)
+
+        def onehot(val, io_n, live=None):
+            m = io_n == val
+            if live is not None:
+                m = m & live
+            return i8b(m)
 
         def encode_obs(a):
-            rows = []
+            blocks = []
             # hands: partners in observer-relative order
             for off in range(1, P):
                 q = (a + off) % P
                 for h in range(H):
-                    live = h < hs[q]
-                    for vv in range(BPC):
-                        rows.append(i8((hc[q][h] == vv) & live))
+                    blocks.append(onehot(hc[q][h], ioBPC, h < hs[q]))
             for off in range(P):
                 q = (a + off) % P
-                rows.append(i8(hs[q] < H))
-            # board
-            for kbit in range(env.max_deck_bits):
-                rows.append(i8(kbit < deck_size))
+                blocks.append(i8b(hs[q] < H))
+            # board (zero-size thermometers — e.g. very_small's deck — must
+            # not emit an iota: Mosaic rejects 0-row vectors)
+            if env.max_deck_bits > 0:
+                blocks.append(i8b(iob(env.max_deck_bits) < deck_size))
             for c in range(C):
-                for r in range(R):
-                    rows.append(i8(fw[c] == r + 1))
-            for kbit in range(max_info):
-                rows.append(i8(kbit < info))
-            for kbit in range(max_life):
-                rows.append(i8(kbit < life))
-            # discards
-            for b in range(M):
-                rows.append(i8(disc[disc_ids[b]] > disc_thr[b]))
+                blocks.append(i8b(fwb[c:c + 1] == ioR + 1))
+            if max_info > 0:
+                blocks.append(i8b(iob(max_info) < info))
+            if max_life > 0:
+                blocks.append(i8b(iob(max_life) < life))
+            # discards: bit -> (id, threshold) walks card ids consecutively
+            # with thresholds 0..copies-1, so each id is one compare
+            for cid in range(CR):
+                blocks.append(i8b(discb[cid:cid + 1] > iob(cr_num[cid % R])))
             # last action
             rel_actor = jnp.where(lm_player == -1, -1, (a - lm_player + P) % P)
-            for i in range(P):
-                rows.append(i8(rel_actor == i))
+            blocks.append(onehot(rel_actor, iob(P)))
             for mtv in (M_PLAY, M_DISCARD, M_REVEAL_C, M_REVEAL_R):
-                rows.append(i8(lm_move == mtv))
+                blocks.append(i8b(lm_move == mtv))
             is_reveal = (lm_move == M_REVEAL_C) | (lm_move == M_REVEAL_R)
             rel_target = (a - lm_target + P) % P
-            for i in range(P):
-                rows.append(i8((rel_target == i) & is_reveal))
-            for i in range(C):
-                rows.append(i8((lm_color == i) & (lm_move == M_REVEAL_C)))
-            for i in range(R):
-                rows.append(i8((lm_rank == i) & (lm_move == M_REVEAL_R)))
-            for h in range(H):
-                rows.append(i8(((srl(reveal_bits, h) & 1) != 0) & is_reveal))
+            blocks.append(i8b((iob(P) == rel_target) & is_reveal))
+            blocks.append(i8b((ioC == lm_color) & (lm_move == M_REVEAL_C)))
+            blocks.append(i8b((ioR == lm_rank) & (lm_move == M_REVEAL_R)))
+            blocks.append(i8b(((jnp.right_shift(reveal_bits, ioH) & 1) != 0)
+                              & is_reveal))
             is_pd = (lm_move == M_PLAY) | (lm_move == M_DISCARD)
-            for h in range(H):
-                rows.append(i8((lm_card_index == h) & is_pd))
-            for i in range(CR):
-                rows.append(i8((lm_color * R + lm_rank == i) & is_pd))
-            rows.append(i8((lm_scored != 0) & (lm_move == M_PLAY)))
-            rows.append(i8((lm_info_token != 0) & (lm_move == M_PLAY)))
+            blocks.append(i8b((ioH == lm_card_index) & is_pd))
+            blocks.append(i8b((ioCR == lm_color * R + lm_rank) & is_pd))
+            blocks.append(i8b((lm_scored != 0) & (lm_move == M_PLAY)))
+            blocks.append(i8b((lm_info_token != 0) & (lm_move == M_PLAY)))
             # card knowledge (quirk: plausible bit index = player offset)
             for off in range(P):
                 q = (a + off) % P
                 for h in range(H):
                     live = h < hs[q]
-                    pb = i8(((srl(hp[q][h], off) & 1) != 0) & live)
-                    for _vv in range(BPC):
-                        rows.append(pb)
-                    for i in range(C):
-                        rows.append(i8((kc[q][h] == i) & live))
-                    for i in range(R):
-                        rows.append(i8((kr[q][h] == i) & live))
-            return jnp.concatenate(rows, axis=0)  # [OBS, B] int8
+                    pb = i8b(((srl(hp[q][h], off) & 1) != 0) & live)
+                    blocks.append(jnp.broadcast_to(pb, (BPC, B)))
+                    blocks.append(onehot(kc[q][h], ioC, live))
+                    blocks.append(onehot(kr[q][h], ioR, live))
+            return jnp.concatenate(blocks, axis=0)  # [OBS, B] int8
 
         def encode_own(a):
-            rows = []
-            for h in range(H):
-                live = h < hs[a]
-                for vv in range(BPC):
-                    rows.append(i8((hc[a][h] == vv) & live))
-            return jnp.concatenate(rows, axis=0)
+            return jnp.concatenate(
+                [onehot(hc[a][h], ioBPC, h < hs[a]) for h in range(H)], axis=0)
 
         def encode_mask(a):
-            rows = []
-            for h in range(H):
-                rows.append(i8((h < hs[a]) & (info < max_info)))
-            for h in range(H):
-                rows.append(i8(h < hs[a]))
+            blocks = [
+                i8b((ioH < hs[a]) & (info < max_info)),
+                i8b(ioH < hs[a]),
+            ]
             info_ok = info > 0
             for off in range(1, P):
                 q = (a + off) % P
-                for c in range(C):
-                    any_c = jnp.zeros_like(info_ok)
-                    for h in range(H):  # dead slots too (reference quirk)
-                        any_c = any_c | (hc[q][h] // R == c)
-                    rows.append(i8(any_c & info_ok))
+                any_c = ioC == hc[q][0] // R
+                for h in range(1, H):  # dead slots too (reference quirk)
+                    any_c = any_c | (ioC == hc[q][h] // R)
+                blocks.append(i8b(any_c & info_ok))
             for off in range(1, P):
                 q = (a + off) % P
-                for r in range(R):
-                    any_r = jnp.zeros_like(info_ok)
-                    for h in range(H):
-                        any_r = any_r | (hc[q][h] % R == r)
-                    rows.append(i8(any_r & info_ok))
-            return jnp.concatenate(rows, axis=0)
+                any_r = ioR == hc[q][0] % R
+                for h in range(1, H):
+                    any_r = any_r | (ioR == hc[q][h] % R)
+                blocks.append(i8b(any_r & info_ok))
+            return jnp.concatenate(blocks, axis=0)
 
         for a in range(P):
-            # arithmetic blend in i32: Mosaic cannot lower the broadcast
-            # bool select over i8 blocks (trunci i8->i1), and i8*i8
-            # multiplies crash the compile helper
-            r = (done | (cur == a)).astype(jnp.int32)  # [1, B]
-            nr = 1 - r
-            blend = lambda new32, old8: (
-                new32 * r + old8.astype(jnp.int32) * nr
-            ).astype(jnp.int8)
+            # refresh mask as i8 0x00/0xFF and blend bitwise: Mosaic lowers
+            # neither broadcast bool selects over i8 blocks (trunci i8->i1)
+            # nor i8*i8 multiplies, but i8 xor/and are fine
+            r = (done | (cur == a)).astype(jnp.int32)  # [1, B] 0/1
+            m8 = (-r).astype(jnp.int8)                 # 0x00 / 0xFF
+            blend = lambda new8, old8: old8 ^ ((old8 ^ new8) & m8)
             obs_o[a] = blend(encode_obs(a), obs_ref[a])
             own_o[a] = blend(encode_own(a), own_ref[a])
             mask_o[a] = blend(encode_mask(a), mask_ref[a])
 
         # ---- write state back ------------------------------------------
         cat = lambda rows_: jnp.concatenate(rows_, axis=0)
-        deck_o[:] = cat(deck)
-        disc_o[:] = cat(disc)
-        fw_o[:] = cat(fw)
+        deck_o[:] = deckb
+        disc_o[:] = discb
+        fw_o[:] = fwb
         hc_o[:] = cat([hc[p][h] for p in range(P) for h in range(H)])
         hp_o[:] = cat([hp[p][h] for p in range(P) for h in range(H)])
         hs_o[:] = cat(hs)

@@ -20,6 +20,20 @@ from madrona_rl_envs_playground_tpu.ops.acrobot_pallas import (
 INTERP = jax.default_backend() != "tpu"
 
 
+def assert_match(got, want, err_msg=""):
+    """Exact for ints (LCG draws, steps, counters) and in interpret mode;
+    on real TPU the Mosaic kernel schedules the RK4's FMAs/transcendentals
+    differently from XLA (~1 ULP per step), and the double-pendulum dynamics
+    are chaotic, so the drift reaches ~2e-4 relative within 50 steps
+    (measured 1.95e-4 @ t=16) — a real dynamics bug would diverge at O(1)."""
+    got, want = np.asarray(got), np.asarray(want)
+    if INTERP or got.dtype.kind in "iub":
+        np.testing.assert_array_equal(got, want, err_msg=err_msg)
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5,
+                                    err_msg=err_msg)
+
+
 def test_acrobot_kernel_matches_jnp():
     env = acrobot.Env()
     # Mosaic requires the lane block to be %128 (or == N); interpret mode
@@ -60,14 +74,10 @@ def test_acrobot_kernel_matches_jnp():
         ref = bstate.env_states
         got = unpack_state(grid, steps, rng_i)
         for f in ("theta1", "theta2", "omega1", "omega2", "steps", "rng_v"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
-                err_msg=f"t={t} state.{f}",
-            )
-        np.testing.assert_array_equal(
-            np.asarray(grid).T[:, None, :], np.asarray(out.obs),
-            err_msg=f"t={t} obs",
-        )
+            assert_match(getattr(got, f), getattr(ref, f),
+                         err_msg=f"t={t} state.{f}")
+        assert_match(np.asarray(grid).T[:, None, :], out.obs,
+                     err_msg=f"t={t} obs")
     assert saw_done >= N, "staggered truncations must reset every world"
 
 
@@ -134,10 +144,7 @@ def test_acrobot_persistent_rollout_matches_jnp():
     np.testing.assert_array_equal(np.asarray(dcnt), dref)
     got = unpack_state(grid, steps, rng_i)
     for f in ("theta1", "theta2", "omega1", "omega2", "steps", "rng_v"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
-            err_msg=f"state.{f}",
-        )
+        assert_match(getattr(got, f), getattr(ref, f), err_msg=f"state.{f}")
     np.testing.assert_array_equal(
         np.asarray(arng), np.concatenate(final_w, axis=1))
     np.testing.assert_allclose(np.asarray(chk), cref, rtol=1e-4, atol=1e-2)

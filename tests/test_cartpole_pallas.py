@@ -23,6 +23,19 @@ from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
 INTERP = jax.default_backend() != "tpu"
 
 
+def assert_match(got, want, err_msg=""):
+    """Exact for ints (LCG draws, counters) and in interpret mode; on real
+    TPU the Mosaic kernel schedules the Euler update's FMAs/transcendentals
+    differently from XLA, so float fields drift by ~1 ULP per step — compare
+    those at a tight tolerance instead."""
+    got, want = np.asarray(got), np.asarray(want)
+    if INTERP or got.dtype.kind in "iub":
+        np.testing.assert_array_equal(got, want, err_msg=err_msg)
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                    err_msg=err_msg)
+
+
 def test_cartpole_kernel_matches_jnp():
     env = cartpole.Env()
     # Mosaic requires the lane block to be %128 (or == N); interpret mode has
@@ -55,14 +68,11 @@ def test_cartpole_kernel_matches_jnp():
         ref = bstate.env_states
         got = unpack_state(grid, rng_i)
         for f in ("x", "x_dot", "theta", "theta_dot", "rng_v"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
-                err_msg=f"t={t} state.{f}",
-            )
+            assert_match(getattr(got, f), getattr(ref, f),
+                         err_msg=f"t={t} state.{f}")
         # obs is the state rows
-        np.testing.assert_array_equal(
-            np.asarray(grid).T[:, None, :], np.asarray(out.obs), err_msg=f"t={t} obs"
-        )
+        assert_match(np.asarray(grid).T[:, None, :], out.obs,
+                     err_msg=f"t={t} obs")
     assert saw_done > N, "random cartpole must reset many times in 60 steps"
 
 
@@ -76,7 +86,8 @@ def test_cartpole_persistent_rollout_matches_jnp(blocks):
     from madrona_rl_envs_playground_tpu.core.types import BatchState
 
     env = cartpole.Env()
-    N, T = (64, 70) if INTERP else (256, 70)
+    # TPU: N=512 keeps BLOCK a multiple of 128 lanes at both block counts
+    N, T = (64, 70) if INTERP else (512, 70)
     BLOCK = N // blocks
     bstate0, _ = batched_reset(env, N)
     grid0, rng0, c0 = init_packed(N)
@@ -119,10 +130,7 @@ def test_cartpole_persistent_rollout_matches_jnp(blocks):
     np.testing.assert_array_equal(np.asarray(dcnt), dref)
     got = unpack_state(grid, rng_i)
     for f in ("x", "x_dot", "theta", "theta_dot", "rng_v"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
-            err_msg=f"state.{f}",
-        )
+        assert_match(getattr(got, f), getattr(ref, f), err_msg=f"state.{f}")
     np.testing.assert_array_equal(
         np.asarray(arng), np.concatenate([np.asarray(w) for w in final_w],
                                          axis=1))

@@ -104,24 +104,27 @@ def test_persistent_rollout_matches_jnp(variant, layout):
     )
     P = env.num_players
     T = 70
-    bstate, out = batched_reset(env, N)
-    ts = init_packed(env, N)
-    w0 = init_action_rng(N, P, seed=0)
+    # TPU: Mosaic needs the lane block %128 (or == n); interpret mode keeps
+    # the cheap 8-env/4-lane multi-block shape
+    n, block = (N, 4) if INTERP else (256, 128)
+    bstate, out = batched_reset(env, n)
+    ts = init_packed(env, n)
+    w0 = init_action_rng(n, P, seed=0)
 
-    roll = jax.jit(lambda ts_, w_: fused_rollout(env, ts_, w_, T, block=4,
+    roll = jax.jit(lambda ts_, w_: fused_rollout(env, ts_, w_, T, block=block,
                                                  interpret=INTERP))
     ts2, w2, dcnt, chk = roll(ts, w0)
 
     # jnp reference driven by the identical action stream
     step_jnp = jax.jit(batched_step, static_argnums=(0,))
     w = w0
-    dref = np.zeros(N, np.int64)
-    cref = np.zeros(N, np.int64)
+    dref = np.zeros(n, np.int64)
+    cref = np.zeros(n, np.int64)
     for t in range(T):
         w, a = action_lcg_next(w, env.num_actions)
         bstate, out = step_jnp(env, bstate, a.T)
-        obs = np.asarray(out.obs, np.int64)          # [N, P, S*C]
-        cref += obs.reshape(N, -1).sum(axis=1)
+        obs = np.asarray(out.obs, np.int64)          # [n, P, S*C]
+        cref += obs.reshape(n, -1).sum(axis=1)
         cref += np.asarray(out.reward, np.int64).sum(axis=1)
         cref += np.asarray(out.done, np.int64)
         dref += np.asarray(out.done, np.int64)
