@@ -290,7 +290,7 @@ def _build_rollout_kernel(block: int, num_steps: int):
     return kernel
 
 
-PERSISTENT_MAX_BLOCK = 65_536
+PERSISTENT_MAX_BLOCK = 32_768
 
 
 @functools.lru_cache(maxsize=None)

@@ -319,7 +319,7 @@ def _build_rollout_kernel(block: int, num_steps: int):
     return kernel
 
 
-PERSISTENT_MAX_BLOCK = 32_768
+PERSISTENT_MAX_BLOCK = 16_384
 
 
 @functools.lru_cache(maxsize=None)

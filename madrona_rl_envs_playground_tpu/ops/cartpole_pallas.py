@@ -354,9 +354,11 @@ def _compiled_rollout(num_envs: int, block: int, num_steps: int,
 
 # per-block VMEM: the six state rows + loop temporaries; measured on the
 # v5e a 131072-lane block needs a 22.9 MB scoped stack vs the 16 MB/core
-# limit, 65536 compiles.  Blocks loop T steps sequentially (grid order), so
-# prefer the largest block that fits to minimize per-block entry cost.
-PERSISTENT_MAX_BLOCK = 65_536
+# limit, and 65536 only compiles when it IS the whole batch (grid=1): with
+# more than one grid step Mosaic double-buffers the in/out blocks and
+# 65536 overflows by ~0.5 MB (measured @1M envs).  Blocks loop T steps
+# sequentially (grid order), so prefer the largest block that fits.
+PERSISTENT_MAX_BLOCK = 32_768
 
 
 def fused_rollout(grid_st: Array, rng_i: Array, act_rng: Array, counter,
