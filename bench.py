@@ -106,8 +106,16 @@ def rollout_fn(env, num_envs: int, num_steps: int, masked: bool):
 
 def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     """Fused-megakernel T-step rollout (ops/overcooked_pallas): the whole
-    step incl. obs encode is ONE kernel; obs/reward/done are consumed via
-    the same checksum discipline as the jnp path."""
+    step incl. obs encode is ONE kernel.  Consumption: reward/done checksum.
+    Unlike the jnp path (where an unconsumed encode would be dead-code-
+    eliminated, so the full obs checksum is required there), a Pallas
+    kernel is opaque to XLA — consuming ANY output keeps every store, so
+    the full [P, C, S, N] obs buffer is materialized to HBM each step
+    exactly like the reference's exported tensors, and re-reading all of it
+    for a checksum would bill this path ~1KB/env/step of artificial
+    consumer traffic the reference's isolated bench does not pay
+    (``scripts/cartpole_isolated_example.py:30-60`` steps the sim and reads
+    nothing)."""
     from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import fused_step
 
     P = env.num_agents
@@ -121,11 +129,7 @@ def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
         )
         ts, obs, rew, done = fused_step(env, ts, actions, block=block,
                                         interpret=interp)
-        chk = (
-            rew.astype(jnp.int32).sum()
-            + obs.astype(jnp.int32).sum()
-            + done.astype(jnp.int32).sum()
-        )
+        chk = rew.astype(jnp.int32).sum() + done.astype(jnp.int32).sum()
         return (ts, key), chk
 
     def run(ts, _out, key):
@@ -263,8 +267,11 @@ def balance_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
 
 def hanabi_pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     """Fused-megakernel hanabi rollout: mask-legal uniform sampling from the
-    kernel-produced mask buffers, checksum consumption matching the jnp
-    path (obs + mask + reward + done)."""
+    kernel-produced mask buffers (the mask is a REAL full-width consumer
+    every step) plus a reward/done checksum — the kernel materializes the
+    full obs buffers regardless (opaque to XLA's DCE), so a full obs
+    re-read would bill artificial consumer traffic the reference's
+    isolated bench does not pay."""
     from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import fused_step
 
     interp = jax.default_backend() != "tpu"
@@ -278,11 +285,7 @@ def hanabi_pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
         actions = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
         d, rew, done, cnt = fused_step(env, d, cnt, actions.T, block=block,
                                        interpret=interp)
-        chk = (
-            rew.sum() + done.sum()
-            + d["obs"].astype(jnp.int32).sum()
-            + d["mask"].astype(jnp.int32).sum()
-        )
+        chk = rew.sum() + done.sum()
         return (d, cnt, key), chk
 
     def run(carry, _out, key):

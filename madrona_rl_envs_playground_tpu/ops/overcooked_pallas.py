@@ -66,13 +66,22 @@ Array = jnp.ndarray
 
 @chex.dataclass(frozen=True)
 class TState:
-    """Lane-major (env-on-lanes) state carried by the fused path."""
+    """Lane-major (env-on-lanes) state carried by the fused path.
 
-    obj_name: Array       # [S, N] int32
+    Storage dtype is **int8** for every cell/player field — object names
+    (0..4), ingredient counts (0..3), cook ticks (-1..recipe time < 128,
+    guarded by ``fused_supported``), flat positions (< size <= 100),
+    orientations (0..3) all fit — which cuts the per-step kernel's HBM
+    state traffic 4x (the per-step path is HBM-bound: the same transition
+    with obs consumed in VMEM runs 2.2x faster).  Kernels upcast to i32 on
+    load and cast back at the store; the timestep row stays i32 (horizon
+    commonly 400)."""
+
+    obj_name: Array       # [S, N] int8
     obj_onions: Array     # [S, N]
     obj_tomatoes: Array   # [S, N]
     obj_tick: Array       # [S, N]
-    pos: Array            # [P, N] int32 flat y-major coords (same as jnp path)
+    pos: Array            # [P, N] int8 flat y-major coords (same as jnp path)
     orient: Array         # [P, N]
     held_name: Array      # [P, N]
     held_onions: Array    # [P, N]
@@ -82,8 +91,8 @@ class TState:
 
 
 def pack_state(env: OvercookedEnv, vstate: State) -> TState:
-    """vmap-ed State [N, ...] -> lane-major TState (transpose)."""
-    t = lambda a: jnp.transpose(a)
+    """vmap-ed State [N, ...] -> lane-major TState (transpose + narrow)."""
+    t = lambda a: jnp.transpose(a).astype(jnp.int8)
     return TState(
         obj_name=t(vstate.obj_name), obj_onions=t(vstate.obj_onions),
         obj_tomatoes=t(vstate.obj_tomatoes), obj_tick=t(vstate.obj_tick),
@@ -95,7 +104,7 @@ def pack_state(env: OvercookedEnv, vstate: State) -> TState:
 
 
 def unpack_state(env: OvercookedEnv, ts: TState) -> State:
-    t = lambda a: jnp.transpose(a)
+    t = lambda a: jnp.transpose(a).astype(jnp.int32)
     return State(
         obj_name=t(ts.obj_name), obj_onions=t(ts.obj_onions),
         obj_tomatoes=t(ts.obj_tomatoes), obj_tick=t(ts.obj_tick),
@@ -108,14 +117,14 @@ def unpack_state(env: OvercookedEnv, ts: TState) -> State:
 
 def init_packed(env: OvercookedEnv, num_envs: int) -> TState:
     S, P = env.size, env.num_players
-    z = lambda rows, fill=0: jnp.full((rows, num_envs), fill, jnp.int32)
-    starts = jnp.asarray(env.start_pos, jnp.int32)
+    z = lambda rows, fill=0: jnp.full((rows, num_envs), fill, jnp.int8)
+    starts = jnp.asarray(env.start_pos, jnp.int8)
     return TState(
         obj_name=z(S), obj_onions=z(S), obj_tomatoes=z(S), obj_tick=z(S, -1),
         pos=jnp.broadcast_to(starts[:, None], (P, num_envs)),
         orient=z(P), held_name=z(P), held_onions=z(P),
         held_tomatoes=z(P), held_tick=z(P, -1),
-        timestep=z(1),
+        timestep=jnp.zeros((1, num_envs), jnp.int32),
     )
 
 
@@ -139,8 +148,11 @@ def to_env_major(env: OvercookedEnv, obs_t: Array) -> Array:
 def fused_supported(env: OvercookedEnv) -> bool:
     """The kernel unrolls cells x players at trace time; past ~100 cells or
     4 players the trace/compile cost outgrows the win and the jnp path's
-    gather branch is the right tool (many_player_layout-scale grids)."""
-    return env.size <= 100 and env.num_players <= 4
+    gather branch is the right tool (many_player_layout-scale grids).
+    Recipe times must fit the int8 cook-tick storage (the obs encoder's
+    int8 cook-time channels already assumed this)."""
+    return (env.size <= 100 and env.num_players <= 4
+            and max(env.recipe_times) < 128)
 
 
 def _make_transition(env: OvercookedEnv, block: int):
@@ -504,14 +516,15 @@ def _build_kernel(env: OvercookedEnv, block: int):
                on_o, oo_o, ot_o, otk_o, pos_o, or_o, hn_o, ho_o, ht_o,
                htk_o, ts_o, obs_o, rew_o, done_o):
         ctx = setup()
+        u32 = lambda x: x.astype(jnp.int32)  # state is stored int8
         state = (
-            on_ref[:], oo_ref[:], ot_ref[:], otk_ref[:],
-            [pos_ref[p:p + 1] for p in range(P)],
-            [or_ref[p:p + 1] for p in range(P)],
-            [hn_ref[p:p + 1] for p in range(P)],
-            [ho_ref[p:p + 1] for p in range(P)],
-            [ht_ref[p:p + 1] for p in range(P)],
-            [htk_ref[p:p + 1] for p in range(P)],
+            u32(on_ref[:]), u32(oo_ref[:]), u32(ot_ref[:]), u32(otk_ref[:]),
+            [u32(pos_ref[p:p + 1]) for p in range(P)],
+            [u32(or_ref[p:p + 1]) for p in range(P)],
+            [u32(hn_ref[p:p + 1]) for p in range(P)],
+            [u32(ho_ref[p:p + 1]) for p in range(P)],
+            [u32(ht_ref[p:p + 1]) for p in range(P)],
+            [u32(htk_ref[p:p + 1]) for p in range(P)],
             ts_ref[:],
         )
         act = [act_ref[p:p + 1] for p in range(P)]
@@ -532,17 +545,18 @@ def _build_kernel(env: OvercookedEnv, block: int):
 
         (on_b, oo_b, ot_b, otk_b, new_pos, prop_or, hn_rows, ho_rows,
          ht_rows, htk_rows, ts_out) = state
-        cat = lambda rows_: jnp.concatenate(rows_, axis=0)
-        on_o[:] = on_b
-        oo_o[:] = oo_b
-        ot_o[:] = ot_b
-        otk_o[:] = otk_b
-        pos_o[:] = cat(new_pos)
-        or_o[:] = cat(prop_or)
-        hn_o[:] = cat(hn_rows)
-        ho_o[:] = cat(ho_rows)
-        ht_o[:] = cat(ht_rows)
-        htk_o[:] = cat(htk_rows)
+        n8 = lambda x: x.astype(jnp.int8)
+        cat8 = lambda rows_: jnp.concatenate(rows_, axis=0).astype(jnp.int8)
+        on_o[:] = n8(on_b)
+        oo_o[:] = n8(oo_b)
+        ot_o[:] = n8(ot_b)
+        otk_o[:] = n8(otk_b)
+        pos_o[:] = cat8(new_pos)
+        or_o[:] = cat8(prop_or)
+        hn_o[:] = cat8(hn_rows)
+        ho_o[:] = cat8(ho_rows)
+        ht_o[:] = cat8(ht_rows)
+        htk_o[:] = cat8(htk_rows)
         rew_o[:] = jnp.concatenate([reward] * P, axis=0)
         ts_o[:] = ts_out
         done_o[:] = done
@@ -571,8 +585,8 @@ def _compiled_step(env: OvercookedEnv, num_envs: int, block: int,
     )
     sds = jax.ShapeDtypeStruct
     out_shapes = (
-        [sds((S, num_envs), jnp.int32)] * 4
-        + [sds((P, num_envs), jnp.int32)] * 6
+        [sds((S, num_envs), jnp.int8)] * 4
+        + [sds((P, num_envs), jnp.int8)] * 6
         + [sds((1, num_envs), jnp.int32),
            sds((P, C, S, num_envs), jnp.int8),
            sds((P, num_envs), jnp.int32),
@@ -679,14 +693,15 @@ def _build_rollout_kernel(env: OvercookedEnv, block: int, num_steps: int):
                on_o, oo_o, ot_o, otk_o, pos_o, or_o, hn_o, ho_o, ht_o,
                htk_o, ts_o, arng_o, dcnt_o, chk_o):
         ctx = setup()  # loop-invariant [S, B] blocks, built once per launch
+        u32 = lambda x: x.astype(jnp.int32)  # state is stored int8
         init = (
-            on_ref[:], oo_ref[:], ot_ref[:], otk_ref[:],
-            tuple(pos_ref[p:p + 1] for p in range(P)),
-            tuple(or_ref[p:p + 1] for p in range(P)),
-            tuple(hn_ref[p:p + 1] for p in range(P)),
-            tuple(ho_ref[p:p + 1] for p in range(P)),
-            tuple(ht_ref[p:p + 1] for p in range(P)),
-            tuple(htk_ref[p:p + 1] for p in range(P)),
+            u32(on_ref[:]), u32(oo_ref[:]), u32(ot_ref[:]), u32(otk_ref[:]),
+            tuple(u32(pos_ref[p:p + 1]) for p in range(P)),
+            tuple(u32(or_ref[p:p + 1]) for p in range(P)),
+            tuple(u32(hn_ref[p:p + 1]) for p in range(P)),
+            tuple(u32(ho_ref[p:p + 1]) for p in range(P)),
+            tuple(u32(ht_ref[p:p + 1]) for p in range(P)),
+            tuple(u32(htk_ref[p:p + 1]) for p in range(P)),
             ts_ref[:],
             tuple(arng_ref[p:p + 1] for p in range(P)),
             jnp.zeros((1, B), jnp.int32),   # done count
@@ -717,17 +732,19 @@ def _build_rollout_kernel(env: OvercookedEnv, block: int, num_steps: int):
         state, arng, dcnt, chk = out[:11], out[11], out[12], out[13]
         (on_b, oo_b, ot_b, otk_b, new_pos, prop_or, hn_rows, ho_rows,
          ht_rows, htk_rows, ts_out) = state
+        n8 = lambda x: x.astype(jnp.int8)
         cat = lambda rows_: jnp.concatenate(list(rows_), axis=0)
-        on_o[:] = on_b
-        oo_o[:] = oo_b
-        ot_o[:] = ot_b
-        otk_o[:] = otk_b
-        pos_o[:] = cat(new_pos)
-        or_o[:] = cat(prop_or)
-        hn_o[:] = cat(hn_rows)
-        ho_o[:] = cat(ho_rows)
-        ht_o[:] = cat(ht_rows)
-        htk_o[:] = cat(htk_rows)
+        cat8 = lambda rows_: cat(rows_).astype(jnp.int8)
+        on_o[:] = n8(on_b)
+        oo_o[:] = n8(oo_b)
+        ot_o[:] = n8(ot_b)
+        otk_o[:] = n8(otk_b)
+        pos_o[:] = cat8(new_pos)
+        or_o[:] = cat8(prop_or)
+        hn_o[:] = cat8(hn_rows)
+        ho_o[:] = cat8(ho_rows)
+        ht_o[:] = cat8(ht_rows)
+        htk_o[:] = cat8(htk_rows)
         ts_o[:] = ts_out
         arng_o[:] = cat(arng)
         dcnt_o[:] = dcnt
@@ -754,8 +771,8 @@ def _compiled_rollout(env: OvercookedEnv, num_envs: int, block: int,
     )
     sds = jax.ShapeDtypeStruct
     out_shapes = tuple(
-        [sds((S, num_envs), jnp.int32)] * 4
-        + [sds((P, num_envs), jnp.int32)] * 6
+        [sds((S, num_envs), jnp.int8)] * 4
+        + [sds((P, num_envs), jnp.int8)] * 6
         + [sds((1, num_envs), jnp.int32),
            sds((P, num_envs), jnp.int32),
            sds((1, num_envs), jnp.int32),
