@@ -7,9 +7,21 @@ Methodology mirrors the reference's isolated example scripts
 reporting step*worlds/sec), re-expressed TPU-natively: the whole rollout is a
 single ``lax.scan`` under ``jit`` so XLA pipelines the step function without
 host round-trips.  Turn-based envs (Hanabi) sample uniformly over the legal
-moves of the active seat in-graph.  All outputs are consumed via checksum so
-nothing is dead-code-eliminated.  Timing covers all repeats under one final
-sync (robust to async dispatch).
+moves of the active seat in-graph.
+
+**Consumption discipline.**  The reference's isolated scripts ``copy_`` every
+exported tensor — observations, agent states, action masks, rewards, dones —
+device-to-device INSIDE the timed loop (e.g.
+``scripts/overcooked_isolated_example.py:60-64``), i.e. they pay a full HBM
+read+write of the obs every step.  Here every per-step path (jnp and kernel
+alike) consumes every output through a full checksum — a full HBM read of
+obs/mask/reward/done per step, strictly less consumer traffic than the
+reference's read+write copy, never more work for the simulator.  The
+``persistent`` whole-rollout kernels instead consume the full observation
+encode with in-VMEM accumulators (the obs never round-trips HBM at all);
+that is a different — fused-consumer — discipline, reported as its own
+column in README and labeled on the JSON line via the backend choice.
+Timing covers all repeats under one final sync (robust to async dispatch).
 
 ``vs_baseline`` compares against the reference's **best** Madrona GPU number
 across all of its published batch sizes (``BASELINE.md``) — the A40 at its
@@ -106,16 +118,13 @@ def rollout_fn(env, num_envs: int, num_steps: int, masked: bool):
 
 def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     """Fused-megakernel T-step rollout (ops/overcooked_pallas): the whole
-    step incl. obs encode is ONE kernel.  Consumption: reward/done checksum.
-    Unlike the jnp path (where an unconsumed encode would be dead-code-
-    eliminated, so the full obs checksum is required there), a Pallas
-    kernel is opaque to XLA — consuming ANY output keeps every store, so
-    the full [P, C, S, N] obs buffer is materialized to HBM each step
-    exactly like the reference's exported tensors, and re-reading all of it
-    for a checksum would bill this path ~1KB/env/step of artificial
-    consumer traffic the reference's isolated bench does not pay
-    (``scripts/cartpole_isolated_example.py:30-60`` steps the sim and reads
-    nothing)."""
+    step incl. obs encode is ONE kernel, the full [P, C, S, N] int8 obs
+    buffer materialized to HBM each step exactly like the reference's
+    exported tensors.  Consumption: full checksum of obs + reward + done —
+    a complete HBM read of every output per step, matching (at less traffic
+    than) the reference isolated bench's per-step ``copy_`` of the same
+    tensors (``scripts/overcooked_isolated_example.py:60-64`` pays
+    read+write)."""
     from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import fused_step
 
     P = env.num_agents
@@ -129,7 +138,9 @@ def pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
         )
         ts, obs, rew, done = fused_step(env, ts, actions, block=block,
                                         interpret=interp)
-        chk = rew.astype(jnp.int32).sum() + done.astype(jnp.int32).sum()
+        chk = (obs.astype(jnp.int32).sum()
+               + rew.astype(jnp.int32).sum()
+               + done.astype(jnp.int32).sum())
         return (ts, key), chk
 
     def run(ts, _out, key):
@@ -166,7 +177,9 @@ def overcooked_persistent_rollout_fn(env, num_envs: int, num_steps: int,
 def cartpole_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
     """Fused cartpole megakernel rollout (ops/cartpole_pallas): the state
     rows ARE the obs export, reward is the constant 1/step; the checksum
-    consumes state + done like the jnp path's obs/done terms."""
+    consumes the full state (all four obs rows) + done, matching the
+    reference isolated bench's per-step ``copy_`` of the exported tensors
+    (``scripts/cartpole_isolated_example.py:51-55`` pays read+write)."""
     from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import fused_step
 
     interp = jax.default_backend() != "tpu"
@@ -177,7 +190,7 @@ def cartpole_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
         acts = jax.random.randint(sub, (1, num_envs), 0, 2, jnp.int32)
         grid, rng_i, done, cnt = fused_step(grid, rng_i, cnt, acts, block=block,
                                             interpret=interp)
-        chk = grid[0].sum() + done.sum()
+        chk = grid.sum() + done.sum()
         return (grid, rng_i, cnt, key), chk
 
     def run(carry, _out, key):
@@ -267,11 +280,12 @@ def balance_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
 
 def hanabi_pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     """Fused-megakernel hanabi rollout: mask-legal uniform sampling from the
-    kernel-produced mask buffers (the mask is a REAL full-width consumer
-    every step) plus a reward/done checksum — the kernel materializes the
-    full obs buffers regardless (opaque to XLA's DCE), so a full obs
-    re-read would bill artificial consumer traffic the reference's
-    isolated bench does not pay."""
+    kernel-produced mask buffers (the mask is a full-width consumer every
+    step) plus a full checksum of obs + own-hand + reward + done — every
+    exported buffer is read back per step, matching (at less traffic than)
+    the reference isolated bench's per-step ``copy_`` of observations /
+    agent states / masks / rewards / dones
+    (``scripts/hanabi_isolated_example.py:67-73`` pays read+write)."""
     from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import fused_step
 
     interp = jax.default_backend() != "tpu"
@@ -285,7 +299,9 @@ def hanabi_pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
         actions = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
         d, rew, done, cnt = fused_step(env, d, cnt, actions.T, block=block,
                                        interpret=interp)
-        chk = rew.sum() + done.sum()
+        chk = (d["obs"].astype(jnp.int32).sum()
+               + d["own"].astype(jnp.int32).sum()
+               + rew.sum() + done.sum())
         return (d, cnt, key), chk
 
     def run(carry, _out, key):
@@ -293,6 +309,33 @@ def hanabi_pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
         return (d, cnt), None, chks.sum()
 
     return jax.jit(run)
+
+
+def _persistent_ok(env, name: str, num_envs: int) -> bool:
+    """Whether a persistent whole-rollout kernel exists and can partition
+    this batch (used by ``--backend best`` to pick the fastest discipline
+    without ever raising)."""
+    from madrona_rl_envs_playground_tpu.ops import pick_block
+
+    if name in ("overcooked", "overcooked2"):
+        from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
+            fused_supported,
+        )
+
+        return fused_supported(env) and pick_block(num_envs, 1024) is not None
+    if name == "cartpole":
+        from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
+            PERSISTENT_MAX_BLOCK,
+        )
+
+        return pick_block(num_envs, PERSISTENT_MAX_BLOCK) is not None
+    if name == "balance":
+        from madrona_rl_envs_playground_tpu.ops.balance_pallas import (
+            PERSISTENT_MAX_BLOCK,
+        )
+
+        return pick_block(num_envs, PERSISTENT_MAX_BLOCK) is not None
+    return False
 
 
 def build_rollout(env, name: str, num_envs: int, num_steps: int,
@@ -311,6 +354,14 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
     from madrona_rl_envs_playground_tpu.ops import pick_block
 
     on_tpu = jax.default_backend() == "tpu"
+    if backend == "best":
+        # the fastest *supported* discipline for this env/batch: the
+        # persistent whole-rollout kernel where one exists (fused-consumer
+        # column), else the per-step kernel via auto.  Never raises — falls
+        # through exactly like auto when a kernel cannot partition the batch.
+        backend = "auto"
+        if on_tpu and _persistent_ok(env, name, num_envs):
+            backend = "persistent"
     explicit = backend in ("pallas", "persistent")
 
     def need_block(desired, what):
@@ -450,18 +501,18 @@ def main():
     p.add_argument("--layout", default=None,
                    help="layout (overcooked*) or config name (hanabi)")
     p.add_argument("--num-players", type=int, default=None)
-    # default = the overcooked megakernel's measured peak scale (192M
-    # steps/s @131k on the v5e; see README's table for the full sweep)
-    p.add_argument("--num-envs", type=int, default=131072)
+    # default = the overcooked persistent kernel's measured peak scale
+    # (542M steps/s @524k on the v5e; see README's table for the full sweep)
+    p.add_argument("--num-envs", type=int, default=524288)
     p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--backend", default="auto",
-                   choices=["auto", "jnp", "pallas", "persistent"],
-                   help="step implementation; auto = per-step pallas "
-                   "megakernel on TPU, jnp elsewhere; persistent (cartpole/"
-                   "overcooked/overcooked2) = whole rollout in one kernel "
-                   "launch, in-kernel action LCG, obs consumed via in-VMEM "
-                   "checksum")
+    p.add_argument("--backend", default="best",
+                   choices=["best", "auto", "jnp", "pallas", "persistent"],
+                   help="step implementation; best (default) = persistent "
+                   "kernel where one exists on TPU, else auto; auto = "
+                   "per-step pallas megakernel on TPU, jnp elsewhere; "
+                   "persistent = whole rollout in one kernel launch, "
+                   "in-kernel action LCG, obs consumed via in-VMEM checksum")
     p.add_argument("--block", type=int, default=1024,
                    help="pallas megakernel env-block (lanes per grid step)")
     p.add_argument("--profile", default=None,

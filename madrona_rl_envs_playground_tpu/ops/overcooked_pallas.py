@@ -90,8 +90,24 @@ class TState:
     timestep: Array       # [1, N] int32
 
 
+def _require_fused(env: OvercookedEnv):
+    """The int8 TState narrows cook ticks / positions; a layout with
+    recipe times >= 128 or size > 127 would silently wrap.  Every packing
+    entry point enforces the same envelope ``fused_supported`` advertises
+    (callers like bench.py / fused_collect check it first; direct callers
+    get a loud error instead of corrupt state)."""
+    if not fused_supported(env):
+        raise ValueError(
+            "overcooked fused kernels support layouts with <= 100 cells, "
+            f"<= 4 players and recipe times < 128 (got size={env.size}, "
+            f"players={env.num_players}, max recipe time "
+            f"{max(env.recipe_times)}); use the jnp path"
+        )
+
+
 def pack_state(env: OvercookedEnv, vstate: State) -> TState:
     """vmap-ed State [N, ...] -> lane-major TState (transpose + narrow)."""
+    _require_fused(env)
     t = lambda a: jnp.transpose(a).astype(jnp.int8)
     return TState(
         obj_name=t(vstate.obj_name), obj_onions=t(vstate.obj_onions),
@@ -116,6 +132,7 @@ def unpack_state(env: OvercookedEnv, ts: TState) -> State:
 
 
 def init_packed(env: OvercookedEnv, num_envs: int) -> TState:
+    _require_fused(env)
     S, P = env.size, env.num_players
     z = lambda rows, fill=0: jnp.full((rows, num_envs), fill, jnp.int8)
     starts = jnp.asarray(env.start_pos, jnp.int8)
@@ -625,6 +642,7 @@ def fused_step(env: OvercookedEnv, ts: TState, actions_t: Array,
     reward [P, N] int32, done [N] bool)``.  ``to_env_major`` maps obs onto
     the jnp path's layout bit-for-bit.
     """
+    _require_fused(env)
     N = ts.pos.shape[-1]
     block = min(block, N)
     return _compiled_step(env, N, block, interpret)(ts, actions_t)
@@ -809,10 +827,14 @@ def fused_rollout(env: OvercookedEnv, ts: TState, act_rng: Array,
 
     ``act_rng``: [P, N] int32 (``init_action_rng``).  Returns
     ``(TState', act_rng', done_count [N] i32, checksum [N] i32)`` where
-    checksum = sum over steps of (obs.sum + P * reward + done) per env —
-    the same consumption the per-step bench applies, accumulated in VMEM.
+    checksum = sum over steps of (obs.sum + P * reward + done) per env,
+    accumulated in VMEM — every output of every step is consumed, with the
+    full observation encode folded into per-env accumulators instead of an
+    HBM store (the fused-consumer discipline; bench.py's module docstring
+    contrasts it with the per-step paths' full HBM checksum reads).
     Requires ``fused_supported(env)``.
     """
+    _require_fused(env)
     N = ts.pos.shape[-1]
     block = min(block, N)
     if N % block:
