@@ -14,6 +14,8 @@ from madrona_rl_envs_playground_tpu.api import (
 from madrona_rl_envs_playground_tpu.envs import balance_beam, overcooked2
 
 
+pytestmark = pytest.mark.quick
+
 def test_vectorobservation_state_defaults_to_obs():
     obs = jnp.ones((4, 3))
     v = VectorObservation(active=jnp.ones((4,), jnp.bool_), obs=obs)

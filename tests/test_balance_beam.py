@@ -1,12 +1,15 @@
 """Balance Beam differential validation (reference harness:
 ``scripts/balance_example.py`` + ``envs/balance_beam_env.py:156-217``)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from madrona_rl_envs_playground_tpu.core import Simulator
 from madrona_rl_envs_playground_tpu.envs.balance_beam import Env
 from madrona_rl_envs_playground_tpu.oracles import balance_beam as oracle
+
+pytestmark = pytest.mark.quick
 
 N = 128
 

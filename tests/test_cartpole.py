@@ -1,6 +1,7 @@
 """Cartpole differential validation against the numpy oracle, plus auto-reset
 and episode-stream semantics (reference harness: ``scripts/cartpole_example.py``)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -13,6 +14,9 @@ N = 64
 
 def make_sim():
     return Simulator(Env(), N)
+
+
+pytestmark = pytest.mark.quick
 
 
 def test_initial_state_distribution():

@@ -70,6 +70,7 @@ def run_differential(config_name, steps, seed, allowed=None):
         check_all(out, oracles, t)
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("config_name", ["full", "small", "very_small"])
 def test_uniform_legal_rollout(config_name):
     run_differential(config_name, steps=80, seed=0)

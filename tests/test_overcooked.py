@@ -52,6 +52,7 @@ def run_differential(variant, layout, horizon, steps, seed, num_players=None,
             np.testing.assert_array_equal(obs[i], ref_obs, err_msg=f"t={t} env={i}")
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("layout", ["simple", "random1", "scenario1_s"])
 def test_overcooked2_layouts(layout):
     run_differential("v2", layout, horizon=50, steps=120, seed=7)
@@ -61,6 +62,7 @@ def test_overcooked2_multiplayer_schelling():
     run_differential("v2", "multiplayer_schelling", horizon=40, steps=60, seed=11)
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("layout", ["cramped_room", "coordination_ring", "asymmetric_advantages_tomato"])
 def test_overcooked_v1_layouts(layout):
     run_differential("v1", layout, horizon=50, steps=120, seed=3)

@@ -1,6 +1,7 @@
 """RNG parity tests: the vectorized TEA+LCG stream must match a pure-Python
 reimplementation of the reference spec (``src/cartpole_env/rng.hpp:7-36``)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +23,9 @@ def py_seed(idx: int) -> int:
 def py_rand(v: int):
     v = (1664525 * v + 1013904223) & M32
     return v, np.float32(v & 0x00FFFFFF) / np.float32(0x01000000)
+
+
+pytestmark = pytest.mark.quick
 
 
 def test_seed_matches_python():
