@@ -35,7 +35,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+# Persistent compilation cache on the axon tunnel ONLY (remote compiles run
+# 2-10 min there; same policy and rationale as tests/conftest.py — a plain
+# local backend gets no cache).
+if os.environ.get("JAX_PLATFORMS", "") == "axon":
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache/jax"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax
 import jax.numpy as jnp
@@ -278,6 +290,31 @@ def balance_pallas_rollout_fn(num_envs: int, num_steps: int, block: int):
     return jax.jit(run)
 
 
+def hanabi_persistent_rollout_fn(env, num_envs: int, num_steps: int,
+                                 block: int):
+    """Whole-rollout-in-one-kernel Hanabi (ops/hanabi_megakernel
+    ``fused_rollout``): T steps per launch per env block, game state
+    resident in VMEM, actions drawn in-kernel from a per-env LCG uniform
+    over the ACTIVE seat's legal moves, and the full obs/own/mask encodes
+    consumed every step by per-seat in-VMEM sum accumulators carrying the
+    exact stale-blended buffer sums (fused-consumer discipline — README's
+    methodology column)."""
+    from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import (
+        fused_rollout,
+    )
+
+    interp = jax.default_backend() != "tpu"
+
+    def run(carry, _out, key):
+        d, cnt, w = carry
+        d, cnt, w, dcnt, chk = fused_rollout(
+            env, d, cnt, w, num_steps, block=block, interpret=interp
+        )
+        return (d, cnt, w), None, (chk.sum() + dcnt.sum()).astype(jnp.float32)
+
+    return jax.jit(run)
+
+
 def hanabi_pallas_rollout_fn(env, num_envs: int, num_steps: int, block: int):
     """Fused-megakernel hanabi rollout: mask-legal uniform sampling from the
     kernel-produced mask buffers (the mask is a full-width consumer every
@@ -335,6 +372,14 @@ def _persistent_ok(env, name: str, num_envs: int) -> bool:
         )
 
         return pick_block(num_envs, PERSISTENT_MAX_BLOCK) is not None
+    if name == "hanabi":
+        from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import (
+            PERSISTENT_MAX_BLOCK,
+            fused_supported,
+        )
+
+        return (fused_supported(env)
+                and pick_block(num_envs, PERSISTENT_MAX_BLOCK) is not None)
     return False
 
 
@@ -382,10 +427,24 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
         return None
 
     if backend == "persistent" and name == "hanabi":
-        raise SystemExit(
-            "no persistent whole-rollout kernel for hanabi (the per-seat "
-            "obs buffers exceed the per-block VMEM budget); use --backend "
-            "auto/pallas/jnp"
+        from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import (
+            PERSISTENT_MAX_BLOCK,
+            fused_supported,
+            init_action_rng,
+            init_packed,
+        )
+
+        if not fused_supported(env):
+            raise SystemExit(
+                "--backend persistent: the hanabi kernels cover 2-player "
+                "configs only; use --backend jnp"
+            )
+        b = need_block(min(block, PERSISTENT_MAX_BLOCK),
+                       "hanabi persistent rollout")
+        d, cnt = init_packed(env, num_envs)
+        carry = (d, cnt, init_action_rng(num_envs))
+        return carry, None, hanabi_persistent_rollout_fn(
+            env, num_envs, num_steps, b
         )
     if name == "hanabi" and backend != "jnp":
         from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import (
