@@ -9,10 +9,16 @@ from _common import base_parser, run_isolated, run_timed_loop
 def main():
     p = base_parser(num_envs=32, num_steps=1000)
     p.add_argument("--config", default="full", choices=["full", "small", "very_small"])
+    p.add_argument("--semantic", action="store_true",
+                   help="per-step semantic validation from the exported "
+                        "tensors alone (abstract step + mask rederivation + "
+                        "cross-step equivalence — the analog of the "
+                        "reference's HanabiState validate_step)")
     args = p.parse_args()
 
     from madrona_rl_envs_playground_tpu.envs.hanabi import CONFIGS, Env
     from madrona_rl_envs_playground_tpu.oracles.hanabi import Counter, HanabiOracle
+    from madrona_rl_envs_playground_tpu.oracles.hanabi_rules import RulesHanabi
 
     cfg = CONFIGS[args.config]
     env = Env(**cfg)
@@ -23,28 +29,75 @@ def main():
 
     validate = None
     if args.validation:
+        # three-way: sequential C++-derived oracle (also the hidden-draw
+        # recorder) + the independent HLE-semantics rules oracle
         counter = Counter()
-        oracles = [HanabiOracle(counter, **cfg) for _ in range(args.num_envs)]
+
+        class Recording(HanabiOracle):
+            def __init__(self, *a, **k):
+                self.drawn = []
+                super().__init__(*a, **k)
+
+            def _draw(self):
+                card = super()._draw()
+                self.drawn.append(card)
+                return card
+
+        def source(queue):
+            pos = [0]
+
+            def draw():
+                cid = queue[pos[0]]
+                pos[0] += 1
+                return (cid // env.ranks, cid % env.ranks)
+
+            return draw
+
+        oracles = [Recording(counter, **cfg) for _ in range(args.num_envs)]
+        rules = [RulesHanabi(source(o.drawn), cxx_quirks=True, **cfg)
+                 for o in oracles]
 
         def validate(t, actions, out):
             rew = np.asarray(out.reward)
             done = np.asarray(out.done)
             bad = []
-            for i, o in enumerate(oracles):
+            for i, (o, g) in enumerate(zip(oracles, rules)):
                 seat = o.cur
                 ref_rew, ref_done = o.step(int(actions[i, seat]))
-                if ref_done != bool(done[i]) or not np.all(rew[i] == np.float32(ref_rew)):
+                g_rew, g_done = g.step(int(actions[i, seat]))
+                ok = (ref_done == g_done == bool(done[i])
+                      and np.all(rew[i] == np.float32(ref_rew))
+                      and g_rew == ref_rew)
+                if ok and not done[i]:
+                    g_obs, g_state = g.encode(g.to_move)
+                    ok = (np.array_equal(np.asarray(out.obs)[i, g.to_move], g_obs)
+                          and np.array_equal(
+                              np.asarray(out.state_obs)[i, g.to_move], g_state)
+                          and np.array_equal(
+                              np.asarray(out.action_mask)[i, g.to_move],
+                              g.legal_mask(g.to_move)))
+                if not ok:
                     bad.append(i)
-            for i, o in enumerate(oracles):
-                if done[i]:
+            for o, g, d in zip(oracles, rules, done):
+                if d:
                     o.reset()
+                    g.new_game()
             return bad
 
+    semantic = None
+    if args.semantic:
+        from madrona_rl_envs_playground_tpu.oracles import hanabi_decoder as hv
+
+        def semantic(prev_out, actions, out):
+            hv.validate_step(env, prev_out, actions, out, np.asarray(out.done))
+
     # actions must be legal for the active seat: drive from the mask
-    run_masked_loop(env, args.num_envs, args.num_steps, args.seed, validate, args.asserts)
+    run_masked_loop(env, args.num_envs, args.num_steps, args.seed, validate,
+                    args.asserts, semantic)
 
 
-def run_masked_loop(env, num_envs, num_steps, seed, validate_fn, asserts):
+def run_masked_loop(env, num_envs, num_steps, seed, validate_fn, asserts,
+                    semantic_fn=None):
     import time
 
     import jax
@@ -64,7 +117,10 @@ def run_masked_loop(env, num_envs, num_steps, seed, validate_fn, asserts):
             seat = int(np.nonzero(active[i])[0][0])
             legal = np.nonzero(mask[i, seat])[0]
             actions[i, seat] = int(legal[rs.randint(len(legal))])
+        prev = out
         out = sim.step(jnp.asarray(actions))
+        if semantic_fn is not None:
+            semantic_fn(prev, actions, out)
         if validate_fn is not None:
             bad = validate_fn(t, actions, out)
             checks += 1
