@@ -90,6 +90,8 @@ def make_fused_collect(env, num_envs: int, *, block: int = 1024,
         return _balance_collect(env, num_envs, block, interpret)
     if kind == "acrobot":
         return _acrobot_collect(env, num_envs, block, interpret)
+    if kind == "cartpole":
+        return _cartpole_collect(env, num_envs, block, interpret)
     return None
 
 
@@ -195,6 +197,38 @@ def _acrobot_collect(env, num_envs, block, interpret):
 # ---------------------------------------------------------------------------
 # Balance Beam
 # ---------------------------------------------------------------------------
+
+def _cartpole_collect(env, num_envs, block, interpret):
+    from ..ops import cartpole_pallas as cp
+
+    def pack(bstate: BatchState):
+        grid, rng_i = cp.pack_state(bstate.env_states)
+        return grid, rng_i, bstate.episode_counter.astype(jnp.int32)
+
+    def step(carry, actions: Array):
+        grid, rng_i, counter = carry
+        grid, rng_i, done, counter = cp.fused_step(
+            grid, rng_i, counter, jnp.transpose(actions).astype(jnp.int32),
+            block=block, interpret=interpret,
+        )
+        obs = jnp.transpose(grid)[:, None, :]          # [4,N] -> [N,1,4]
+        out = StepOutput(
+            obs=obs,
+            state_obs=obs,
+            action_mask=jnp.ones((num_envs, 1, env.num_actions), jnp.bool_),
+            active=jnp.ones((num_envs, 1), jnp.bool_),
+            reward=jnp.ones((num_envs, 1), jnp.float32),
+            done=done,
+        )
+        return (grid, rng_i, counter), out
+
+    def unpack(carry):
+        grid, rng_i, counter = carry
+        return BatchState(env_states=cp.unpack_state(grid, rng_i),
+                          episode_counter=counter.astype(jnp.uint32))
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack)
+
 
 def _balance_collect(env, num_envs, block, interpret):
     from ..ops import balance_pallas as bp

@@ -61,6 +61,24 @@ class MAPPOConfig:
     seed: int = 1
     save_interval: int = 1
     log_interval: int = 5
+    # eval (reference train/config.py --use_eval/--eval_interval/
+    # --eval_episodes/--n_eval_rollout_threads): periodic deterministic
+    # evaluation during training via runner.evaluate (the fused-scan
+    # tester).  eval_episodes is a TOTAL episode budget spread over the
+    # training envs (>= 1 scan episode).
+    use_eval: bool = False
+    eval_interval: int = 25
+    eval_episodes: int = 32
+    n_eval_rollout_threads: int = 1
+    # render (reference --use_render/--render_episodes/--save_gifs/--ifi/
+    # --n_render_rollout_threads): after training, export a browser replay
+    # (utils/demo_export.py play/replay HTML for the overcooked family, a
+    # trajectory JSON elsewhere) instead of the reference's gif pipeline.
+    use_render: bool = False
+    render_episodes: int = 5
+    save_gifs: bool = False
+    ifi: float = 0.1
+    n_render_rollout_threads: int = 1
     # rollout collection backend: "auto" steps the fused Pallas megakernel
     # on TPU where the env has one (train/fused_collect.py), jnp elsewhere;
     # "pallas"/"jnp" force.  Trajectories are bit-identical either way.

@@ -230,6 +230,14 @@ class MAPPORunner:
                 )
             if self.run_dir and (ep + 1) % cfg.save_interval == 0:
                 self.save()
+            if cfg.use_eval and (ep + 1) % cfg.eval_interval == 0:
+                score = self.evaluate(
+                    episodes=max(1, cfg.eval_episodes // self.N))
+                if self.logger is not None:
+                    self.logger.add_scalar("mappo/eval_score", score, steps)
+                    self.logger.flush()
+                print(f"eval @ episode {ep + 1}: deterministic score "
+                      f"{score:.3f}")
         return last_info
 
     # ---- checkpointing (main_player.py:311-325) -----------------------
@@ -259,6 +267,9 @@ class MAPPORunner:
         jitted ``lax.scan`` (the reference's tester.py steps host-side; a
         host-driven loop through the TPU tunnel is the known ~100x-slow
         path, so eval is scanned exactly like collect)."""
+        cached = getattr(self, "_eval_cache", None)
+        if cached is not None and cached[0] == (episodes, deterministic):
+            return cached[1]()
         cfg = self.cfg
         N, A = self.N, self.A
         B = N * A
@@ -293,7 +304,14 @@ class MAPPORunner:
             )
             return rews.sum()
 
-        total = jax.jit(eval_rollout)(
-            self.trainer.state.policy, bstate0, out0, rnn0, masks0, key
-        )
-        return float(total) / (episodes * N)
+        jitted = jax.jit(eval_rollout)
+
+        def run_once():
+            total = jitted(
+                self.trainer.state.policy, bstate0, out0, rnn0, masks0, key
+            )
+            return float(total) / (episodes * N)
+
+        # periodic use_eval calls reuse the compiled scan
+        self._eval_cache = ((episodes, deterministic), run_once)
+        return run_once()

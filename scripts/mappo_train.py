@@ -49,6 +49,53 @@ def main():
     score = runner.evaluate(episodes=1, deterministic=True)
     print(f"deterministic eval score: {score:.3f}")
 
+    if cfg.use_render:
+        render_policy(runner, env, cfg, args.run_dir or "runs/mappo")
+
+
+def render_policy(runner, env, cfg, run_dir):
+    """The reference's --use_render/--render_episodes gif pipeline,
+    re-expressed: export a self-contained browser replay driven by the
+    trained actor (overcooked family), or a trajectory JSON elsewhere."""
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    outdir = os.path.join(run_dir, "render")
+    pstate = runner.trainer.state.policy
+    mc = cfg.model_config()
+
+    def policy(obs, mask):
+        B = obs.shape[0] * obs.shape[1]
+        flat = jnp.asarray(obs).reshape(B, -1).astype(jnp.float32)
+        avail = jnp.asarray(mask).reshape(B, -1)
+        rnn = jnp.zeros((B, mc.recurrent_N, mc.hidden_size))
+        logits, _ = runner.policy.actor.apply(
+            pstate.actor_params, flat, rnn, jnp.ones((B,)), avail)
+        return np.asarray(jnp.argmax(logits, -1)).reshape(obs.shape[:2])
+
+    if hasattr(env, "terrain"):  # overcooked family -> canvas replay pages
+        from madrona_rl_envs_playground_tpu.utils.demo_export import export_demo
+
+        export_demo(outdir, env, actor_params=pstate.actor_params,
+                    model_cfg=mc,
+                    num_traj_steps=cfg.render_episodes * env.horizon,
+                    policy=policy, seed=cfg.seed)
+        print(f"render: wrote {outdir}/play.html and replay.html")
+    else:
+        from madrona_rl_envs_playground_tpu.utils.demo_export import record_rollout
+
+        traj = record_rollout(
+            env, cfg.render_episodes * cfg.episode_length, policy=policy,
+            seed=cfg.seed)
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "trajectory.json"), "w") as f:
+            json.dump(traj, f)
+        print(f"render: wrote {outdir}/trajectory.json")
+
 
 if __name__ == "__main__":
     main()

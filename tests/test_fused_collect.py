@@ -19,7 +19,7 @@ import numpy as np
 import pytest
 
 from madrona_rl_envs_playground_tpu.core.batch import batched_reset, batched_step
-from madrona_rl_envs_playground_tpu.envs import acrobot, balance_beam, hanabi, overcooked
+from madrona_rl_envs_playground_tpu.envs import acrobot, balance_beam, cartpole, hanabi, overcooked
 from madrona_rl_envs_playground_tpu.train.fused_collect import make_fused_collect
 from madrona_rl_envs_playground_tpu.train.selfplay import SelfPlayConfig, SelfPlayPPO
 
@@ -54,7 +54,7 @@ def _legal_actions(rs, mask_np):
     return out
 
 
-@pytest.mark.parametrize("kind", ["overcooked", "hanabi", "balance", "acrobot"])
+@pytest.mark.parametrize("kind", ["overcooked", "hanabi", "balance", "acrobot", "cartpole"])
 def test_fused_collect_matches_batched_step(kind):
     if kind == "overcooked":
         env = overcooked.make("cramped_room", horizon=13)
@@ -62,6 +62,8 @@ def test_fused_collect_matches_batched_step(kind):
         env = balance_beam.Env()
     elif kind == "acrobot":
         env = acrobot.Env()
+    elif kind == "cartpole":
+        env = cartpole.Env()
     else:
         env = hanabi.Env(**hanabi.CONFIGS["very_small"])
     fc = make_fused_collect(env, N, interpret=True)
@@ -82,12 +84,14 @@ def test_fused_collect_matches_batched_step(kind):
     _assert_bstate_equal(fc.unpack(carry), bstate, t)
 
 
-@pytest.mark.parametrize("kind", ["overcooked", "hanabi", "balance"])
+@pytest.mark.parametrize("kind", ["overcooked", "hanabi", "balance", "cartpole"])
 def test_selfplay_pallas_rollout_matches_jnp(kind):
     if kind == "overcooked":
         env = overcooked.make("cramped_room", horizon=10)
     elif kind == "balance":
         env = balance_beam.Env()
+    elif kind == "cartpole":
+        env = cartpole.Env()
     else:
         env = hanabi.Env(**hanabi.CONFIGS["very_small"])
     cfg = dict(num_steps=12, hidden=32, num_layers=2, update_epochs=2,
