@@ -154,6 +154,18 @@ class OvercookedEnv(EnvBase):
             if v > T_AIR:
                 base[pos, v - 1] += 1
         self._base_obs = base
+        # Static (x, y)-major cell permutation: the reference observation
+        # space is MultiBinary [W, H, C] (``envs/overcooked_env.py:92-106``)
+        # while grid state lives (y, x)-major.  The select-path encoder
+        # builds obs DIRECTLY in the final order via this permutation — one
+        # [S]-gather of the state columns instead of a full-width transpose
+        # copy of the [P, S, C] output.
+        self._perm_xy = np.asarray(
+            [y * self.width + x
+             for x in range(self.width) for y in range(self.height)],
+            np.int32,
+        )
+        self._base_obs_xy = base[self._perm_xy]
         # observer/player -> presence-channel map: self is channel 0, others
         # rank 1..P-1 in id order skipping self (oracle's other_i counter).
         P = self.num_players
@@ -425,20 +437,34 @@ class OvercookedEnv(EnvBase):
         S, P, C = self.size, self.num_players, self.num_channels
         K = self.num_obj_channels
         shift = 5 * P
-        terr = jnp.asarray(self._terr)
         rtimes = jnp.asarray(self.recipe_times, jnp.int32)
 
-        on, oo, ot, otk = (
-            state.obj_name,
-            state.obj_onions,
-            state.obj_tomatoes,
-            state.obj_tick,
-        )
+        select_path = S <= _SELECT_MAX_CELLS
+        if select_path:
+            # Build in (x, y)-major order directly (no output transpose):
+            # gather the [S] state columns through the static permutation and
+            # compare player positions against the permuted cell ids.
+            xp = jnp.asarray(self._perm_xy)
+            terr = jnp.asarray(self._terr[self._perm_xy])
+            on = state.obj_name[xp]
+            oo = state.obj_onions[xp]
+            ot = state.obj_tomatoes[xp]
+            otk = state.obj_tick[xp]
+            base_obs = self._base_obs_xy
+        else:
+            terr = jnp.asarray(self._terr)
+            on, oo, ot, otk = (
+                state.obj_name,
+                state.obj_onions,
+                state.obj_tomatoes,
+                state.obj_tick,
+            )
+            base_obs = self._base_obs
         pot = terr == T_POT
         soup = on == O_SOUP
         zeros = jnp.zeros((S,), jnp.int32)
 
-        cols = [jnp.asarray(self._base_obs[:, k]) for k in range(K)]
+        cols = [jnp.asarray(base_obs[:, k]) for k in range(K)]
         if self.variant == "v1":
             idle = soup & pot & (otk < 0)
             live = soup & pot & (otk >= 0)
@@ -502,7 +528,7 @@ class OvercookedEnv(EnvBase):
                 axis=1,
             )  # [P, 1]
             vals = jnp.ones((P, 1), jnp.int32)
-        if S <= _SELECT_MAX_CELLS:
+        if select_path:
             # Scatter-free formulation (see _SELECT_MAX_CELLS note): positions
             # and channel slots become one-hot compares combined over the tiny
             # static dims.  Pure elementwise VPU work — no einsum/dot_general
@@ -511,11 +537,14 @@ class OvercookedEnv(EnvBase):
             # channels and each player contributes exactly 5 player-block
             # channels, so the assembly is O(P^2 * 5 * S), not O(P^2 * K * S)
             # (at many_player P=30 the dense form was ~34M elem-ops per env
-            # and lost 2.5x to the A40).
+            # and lost 2.5x to the A40).  The player block — 5P of the 5P+K
+            # channels, the bulk of the output — is built in int8 end to end:
+            # at P=30 the int32 form moved ~4x the bytes of the obs itself
+            # through HBM and sat ~7x under the roofline.
             J = ch_slots.shape[1]
-            pos_oh = (state.pos[:, None] == jnp.arange(S)[None, :]).astype(
-                jnp.int32
-            )  # [P, S]
+            pos_oh8 = (state.pos[:, None] == xp[None, :]).astype(
+                jnp.int8
+            )  # [P, S] in (x, y)-major cell order
             # held-object channels: accumulate channel-wise over the few
             # channels a held object can touch, folded into the pre-stack
             # cols (a post-stack .at[:, c].add would copy the whole [S, K]
@@ -525,8 +554,8 @@ class OvercookedEnv(EnvBase):
                 w = jnp.zeros((P,), jnp.int32)
                 for j in range(J):
                     w = w + vals[:, j] * (ch_slots[:, j] == c).astype(jnp.int32)
-                cols[c] = cols[c] + jnp.sum(pos_oh * w[:, None], axis=0)
-            shared_k = jnp.stack(cols, axis=1)  # [S, K] (held included)
+                cols[c] = cols[c] + jnp.sum(pos_oh8 * w[:, None], axis=0)
+            shared_k = jnp.stack(cols, axis=1).astype(jnp.int8)  # [S, K]
 
             if P <= 8:
                 # dense per-(observer, player) channel one-hot products —
@@ -535,15 +564,16 @@ class OvercookedEnv(EnvBase):
                 cr = jnp.arange(shift)
                 rows = []
                 for i in range(P):
-                    acc = jnp.zeros((S, shift), jnp.int32)
+                    acc = jnp.zeros((S, shift), jnp.int8)
                     for j in range(P):
                         c1 = int(self._ch_matrix[i, j])
-                        chan_j = (cr == c1).astype(jnp.int32) + (
-                            cr == P + 4 * c1 + state.orient[j]
-                        ).astype(jnp.int32)  # [shift]
-                        acc = acc + pos_oh[j][:, None] * chan_j[None, :]
+                        chan_j = (
+                            (cr == c1)
+                            | (cr == P + 4 * c1 + state.orient[j])
+                        ).astype(jnp.int8)  # [shift] (channels are distinct)
+                        acc = acc + pos_oh8[j][:, None] * chan_j[None, :]
                     rows.append(acc)
-                player_part = jnp.stack(rows)  # [P, S, shift]
+                player_part = jnp.stack(rows)  # [P, S, shift] int8
             else:
                 # many-player: each player contributes exactly 5 channels
                 # (presence + 4 orientation one-hots) and the per-observer
@@ -551,12 +581,12 @@ class OvercookedEnv(EnvBase):
                 # (ch_matrix), so the [S, 5P] block is a static concat of
                 # per-player [S, 5] blocks — O(P^2 * 5 * S) (the dense form
                 # is ~34M elem-ops per env at P=30 and loses 2.5x to the A40)
-                ori_oh = (state.orient[:, None] == jnp.arange(4)[None, :]).astype(
-                    jnp.int32
-                )  # [P, 4]
-                pres_cols = [pos_oh[j][:, None] for j in range(P)]      # [S,1]
+                ori_oh8 = (
+                    state.orient[:, None] == jnp.arange(4)[None, :]
+                ).astype(jnp.int8)  # [P, 4]
+                pres_cols = [pos_oh8[j][:, None] for j in range(P)]     # [S,1]
                 ori_cols = [
-                    pos_oh[j][:, None] * ori_oh[j][None, :] for j in range(P)
+                    pos_oh8[j][:, None] * ori_oh8[j][None, :] for j in range(P)
                 ]  # [S,4]
                 inv = np.argsort(self._ch_matrix, axis=1)  # rank -> player
                 rows = []
@@ -566,7 +596,10 @@ class OvercookedEnv(EnvBase):
                         [pres_cols[j] for j in order]
                         + [ori_cols[j] for j in order], axis=1,
                     ))  # [S, 5P]
-                player_part = jnp.stack(rows)  # [P, S, shift]
+                player_part = jnp.stack(rows)  # [P, S, shift] int8
+            obs = jnp.concatenate(
+                [player_part, jnp.broadcast_to(shared_k, (P, S, K))], axis=2
+            ).reshape(P, S * C)  # already (x, y, c)-ordered
         else:
             held_k = jnp.zeros((S, K), jnp.int32).at[
                 state.pos[:, None], ch_slots
@@ -582,16 +615,16 @@ class OvercookedEnv(EnvBase):
             ch_or = P + 4 * ch_pres + state.orient[jj]
             player_part = player_part.at[ii, rows, ch_or].add(1)
 
-        obs = jnp.concatenate(
-            [player_part, jnp.broadcast_to(shared_k, (P, S, K))], axis=2
-        )  # [P, S, C]
-        # (y,x) position-major -> (x,y) to match the reference layout.
-        obs = (
-            obs.reshape(P, self.height, self.width, C)
-            .transpose(0, 2, 1, 3)
-            .reshape(P, self.width * self.height * C)
-            .astype(jnp.int8)
-        )
+            obs = jnp.concatenate(
+                [player_part, jnp.broadcast_to(shared_k, (P, S, K))], axis=2
+            )  # [P, S, C]
+            # (y,x) position-major -> (x,y) to match the reference layout.
+            obs = (
+                obs.reshape(P, self.height, self.width, C)
+                .transpose(0, 2, 1, 3)
+                .reshape(P, self.width * self.height * C)
+            )
+        obs = obs.astype(jnp.int8)
         mask = jnp.ones((P, NUM_ACTIONS), jnp.bool_)
         active = jnp.ones((P,), jnp.bool_)
         return state, obs, obs, mask, active
