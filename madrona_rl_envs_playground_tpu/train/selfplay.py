@@ -266,33 +266,39 @@ class SelfPlayPPO:
             buf, next_value, next_done, final_active, cfg.gamma, cfg.gae_lambda
         )
 
-        flat = lambda x: x.reshape((T * M,) + x.shape[2:])
-        b_active = flat(active).astype(jnp.float32)
+        # Everything below stays [T, M, ...] — M is the (sharded) env axis
+        # and merging it with T (the old flat()) produced a sharding GSPMD
+        # cannot express, which silently all-gathered the ENTIRE rollout
+        # buffer to every device each PPO epoch (~0.5 GB/update at 8k envs
+        # — measured from the compiled sharded HLO).  Dense layers map over
+        # all leading axes, and the masked means are order-invariant, so
+        # the update is unchanged while grads reduce with one small psum.
+        b_active = active.astype(jnp.float32)
         n_active = jnp.maximum(b_active.sum(), 1.0)
         masked_mean = lambda x: (x * b_active).sum() / n_active
 
-        b_adv = flat(advantages)
+        b_adv = advantages
         if cfg.norm_adv:
             m = masked_mean(b_adv)
             var = masked_mean((b_adv - m) ** 2)
             std = jnp.sqrt(var * n_active / jnp.maximum(n_active - 1.0, 1.0))
             b_adv = (b_adv - m) / (std + 1e-8)
 
-        b_obs, b_states = flat(buf.obs), flat(buf.states)
-        b_actions, b_masks = flat(buf.actions), flat(buf.action_masks)
-        b_logprobs = flat(buf.logprobs)
-        b_returns, b_values = flat(returns), flat(buf.values)
-
-        # Minibatching (row chunks) bounds the update's activation memory —
-        # the full T*N*P batch with a 512-wide tower can exceed HBM at large
-        # env counts.  nmb=1 reproduces the reference's full-batch behavior.
+        # Minibatching (timestep bands) bounds the update's activation
+        # memory — the full T*N*P batch with a 512-wide tower can exceed
+        # HBM at large env counts.  nmb=1 reproduces the reference's
+        # full-batch behavior.  Chunks slice the T axis only (identical
+        # rows to the old T-major flat chunking), never the env axis.
         nmb = cfg.num_minibatches
-        B_rows = T * M
-        mb = B_rows // nmb
-        batch = (b_obs, b_states, b_actions, b_masks, b_logprobs, b_adv,
-                 b_returns, b_values, b_active)
+        if T % nmb:
+            raise ValueError(
+                f"num_minibatches={nmb} must divide num_steps={T} "
+                f"(minibatches are timestep bands so the sharded env axis "
+                f"is never re-partitioned)")
+        batch = (buf.obs, buf.states, buf.actions, buf.action_masks,
+                 buf.logprobs, b_adv, returns, buf.values, b_active)
         chunks = jax.tree_util.tree_map(
-            lambda x: x[: nmb * mb].reshape((nmb, mb) + x.shape[1:]), batch
+            lambda x: x.reshape((nmb, T // nmb) + x.shape[1:]), batch
         )
 
         def mb_loss(p, chunk):
@@ -362,8 +368,8 @@ class SelfPlayPPO:
             "v_loss": auxes[1][-1],
             "entropy": auxes[2][-1],
             "approx_kl": auxes[3][-1],
-            "mean_step_reward": masked_mean(flat(credited)),
-            "mean_value": masked_mean(b_values),
+            "mean_step_reward": masked_mean(credited),
+            "mean_value": masked_mean(buf.values),
         }
         new_state = {
             "params": params,
