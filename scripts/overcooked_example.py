@@ -14,6 +14,10 @@ def overcooked_main(variant: str):
     p.add_argument("--native-validation", action="store_true",
                    help="validate against the C++ batched oracle (scales to "
                         "thousands of envs)")
+    p.add_argument("--use-native", action="store_true",
+                   help="run the C++ batched simulator as the backend "
+                        "(alternate-backend perf comparison, the analog of "
+                        "the reference's --use-taichi)")
     args = p.parse_args()
 
     from madrona_rl_envs_playground_tpu.envs import overcooked, overcooked2
@@ -33,6 +37,30 @@ def overcooked_main(variant: str):
             [lambda: OvercookedOracleEnv(variant, params) for _ in range(args.num_envs)],
             args.num_steps, args.seed, use_async=args.use_async,
         )
+        return
+    if args.use_native:
+        import time
+
+        from madrona_rl_envs_playground_tpu.oracles.native import (
+            NativeOvercookedOracle,
+        )
+
+        params = get_base_layout_params(
+            args.layout, args.horizon, max_num_players=args.num_players,
+            variant=variant,
+        )
+        nat = NativeOvercookedOracle(variant, params, batch=args.num_envs)
+        nat.reset()
+        rs = np.random.RandomState(args.seed)
+        acts = rs.randint(0, 6, size=(args.num_steps, args.num_envs,
+                                      env.num_players)).astype(np.int32)
+        nat.step(acts[0])  # warm
+        t0 = time.perf_counter()
+        for t in range(args.num_steps):
+            nat.step(acts[t])
+        dt = time.perf_counter() - t0
+        print(f"{args.num_steps * args.num_envs / dt:,.0f} step*worlds/sec "
+              f"(native C++ backend)")
         return
     if args.isolated:
         run_isolated(env, args.num_envs, args.num_steps, args.seed)

@@ -60,7 +60,22 @@ def main():
                         "on TPU where the env has one) or the jnp scan")
     args = p.parse_args()
 
+    from madrona_rl_envs_playground_tpu.parallel import launch
     from madrona_rl_envs_playground_tpu.train import SelfPlayConfig, SelfPlayPPO
+
+    # multi-host (pod slice): a no-op unless the JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars (or pod metadata) are set
+    # — docs/multihost_projection.md runbook
+    distributed = launch.initialize()
+    mesh = None
+    if distributed or len(jax.devices()) > 1:
+        from madrona_rl_envs_playground_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        if args.num_envs % mesh.size:
+            raise SystemExit(
+                f"--num-envs {args.num_envs} must be divisible by the mesh "
+                f"size {mesh.size}")
 
     env = make_env(args.env, args.layout, args.horizon, args.num_players)
     cfg = SelfPlayConfig(
@@ -69,7 +84,8 @@ def main():
         num_minibatches=args.num_minibatches, use_bf16=args.bf16,
         rollout_backend=args.rollout_backend,
     )
-    trainer = SelfPlayPPO(env, num_envs=args.num_envs, cfg=cfg, seed=args.seed)
+    trainer = SelfPlayPPO(env, num_envs=args.num_envs, cfg=cfg, seed=args.seed,
+                          mesh=mesh)
     # one untimed update first: the remote-TPU compile of the fused
     # train_step is ~20-90s and would otherwise dominate the steps/s figure
     # sync barrier = a device->host VALUE fetch: through the remote tunnel,
