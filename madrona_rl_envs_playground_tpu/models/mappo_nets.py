@@ -216,9 +216,10 @@ class R_Actor(nn.Module):
         self.act = ACTLayer(self.cfg, self.num_actions)
 
     def __call__(self, obs, rnn_states, masks, available_actions=None):
-        """Single-step logits. obs [N, ...]; rnn_states [N, L, H]; masks [N].
-        Returns (logits [N, A], rnn_states')."""
-        x = self.base(obs.reshape((obs.shape[0],) + tuple(self.obs_shape)))
+        """Single-step logits. obs [..., F] with any leading batch dims
+        (the sharded num_mini_batch=1 update keeps [T, M]); rnn_states
+        [..., L, H]; masks [...].  Returns (logits [..., A], rnn_states')."""
+        x = self.base(obs.reshape(obs.shape[:-1] + tuple(self.obs_shape)))
         if self.cfg.use_recurrent_policy:
             x, rnn_states = self.rnn.step(x, rnn_states, masks)
         return self.act(x, available_actions), rnn_states
@@ -255,7 +256,7 @@ class R_Critic(nn.Module):
         )
 
     def __call__(self, cent_obs, rnn_states, masks):
-        x = self.base(cent_obs.reshape((cent_obs.shape[0],) + tuple(self.obs_shape)))
+        x = self.base(cent_obs.reshape(cent_obs.shape[:-1] + tuple(self.obs_shape)))
         if self.cfg.use_recurrent_policy:
             x, rnn_states = self.rnn.step(x, rnn_states, masks)
         return self.v_out(x)[..., 0], rnn_states

@@ -177,7 +177,11 @@ class RMAPPOTrainer:
         advantages = (adv_raw - mean_adv) / (jnp.sqrt(var_adv) + 1e-5)
 
         B = T * M
-        flat = lambda x: x.reshape((B,) + x.shape[2:])
+        # num_mini_batch=1: keep [T, M, ...] — flattening would merge the
+        # sharded env axis into T*M, which GSPMD cannot express and would
+        # all-gather the buffers on a mesh (see the nmb==1 branch below)
+        flat = ((lambda x: x) if cfg.num_mini_batch == 1
+                else (lambda x: x.reshape((B,) + x.shape[2:])))
         data = (
             flat(buf.share_obs[:-1]),
             flat(buf.obs[:-1]),
@@ -198,6 +202,18 @@ class RMAPPOTrainer:
 
         def epoch_body(carry, ekey):
             pstate, vn = carry
+            if nmb == 1:
+                # The single minibatch is the whole batch and every
+                # reduction in _ppo_update is order-invariant, so the
+                # reference's shuffle (feed_forward_generator) is a
+                # semantic no-op at num_mini_batch=1 (the reference
+                # default and the Colab config).  Skipping the permuted
+                # gather keeps the env axis sharded on a mesh — no
+                # all-gather of the buffers (docs/multihost_projection.md).
+                pstate, vn, metrics = self._ppo_update(
+                    pstate, vn, data, lrs, sequence=False
+                )
+                return (pstate, vn), metrics
             perm = jax.random.permutation(ekey, B)
 
             def mb_body(carry2, idx):
