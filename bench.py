@@ -405,15 +405,18 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
     from madrona_rl_envs_playground_tpu.ops import pick_block
 
     on_tpu = jax.default_backend() == "tpu"
-    if backend == "best":
+    from_best = backend == "best"
+    if from_best:
         # the fastest *supported* discipline for this env/batch: the
         # persistent whole-rollout kernel where one exists (fused-consumer
         # column), else the per-step kernel via auto.  Never raises — falls
-        # through exactly like auto when a kernel cannot partition the batch.
+        # through exactly like auto when a kernel cannot partition the batch
+        # (including a user --block the kernels cannot honor).
         backend = "auto"
-        if on_tpu and _persistent_ok(env, name, num_envs):
+        if (on_tpu and _persistent_ok(env, name, num_envs)
+                and pick_block(num_envs, block, on_tpu=True) is not None):
             backend = "persistent"
-    explicit = backend in ("pallas", "persistent")
+    explicit = not from_best and backend in ("pallas", "persistent")
 
     def need_block(desired, what):
         b = pick_block(num_envs, desired, on_tpu=on_tpu)
@@ -447,11 +450,13 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
             )
         b = need_block(min(block, PERSISTENT_MAX_BLOCK),
                        "hanabi persistent rollout")
-        d, cnt = init_packed(env, num_envs)
-        carry = (d, cnt, init_action_rng(num_envs))
-        return carry, None, hanabi_persistent_rollout_fn(
-            env, num_envs, num_steps, b
-        )
+        if b is not None:  # None only via --backend best: fall through
+            d, cnt = init_packed(env, num_envs)
+            carry = (d, cnt, init_action_rng(num_envs))
+            return carry, None, hanabi_persistent_rollout_fn(
+                env, num_envs, num_steps, b
+            )
+        backend = "auto"
     if name == "hanabi" and backend != "jnp":
         from madrona_rl_envs_playground_tpu.ops.hanabi_megakernel import (
             fused_supported,
@@ -476,10 +481,12 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
         )
 
         b = need_block(PERSISTENT_MAX_BLOCK, "balance persistent rollout")
-        loc, obs, time, rng_i, cnt = init_packed(num_envs)
-        carry = (loc, obs, time, rng_i, cnt, init_action_rng(num_envs))
-        return carry, None, balance_persistent_rollout_fn(num_envs, num_steps,
-                                                          b)
+        if b is not None:
+            loc, obs, time, rng_i, cnt = init_packed(num_envs)
+            carry = (loc, obs, time, rng_i, cnt, init_action_rng(num_envs))
+            return carry, None, balance_persistent_rollout_fn(num_envs,
+                                                              num_steps, b)
+        backend = "auto"
     if name == "balance" and backend != "jnp" and (
         backend == "pallas" or on_tpu
     ):
@@ -501,10 +508,12 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
         )
 
         b = need_block(PERSISTENT_MAX_BLOCK, "cartpole persistent rollout")
-        g0, r0, c0 = init_packed(num_envs)
-        carry = (g0, r0, init_action_rng(num_envs), c0)
-        return carry, None, cartpole_persistent_rollout_fn(num_envs,
-                                                           num_steps, b)
+        if b is not None:
+            g0, r0, c0 = init_packed(num_envs)
+            carry = (g0, r0, init_action_rng(num_envs), c0)
+            return carry, None, cartpole_persistent_rollout_fn(num_envs,
+                                                               num_steps, b)
+        backend = "auto"
     if name == "cartpole" and backend != "jnp" and (
         backend == "pallas" or on_tpu
     ):
@@ -531,11 +540,13 @@ def build_rollout(env, name: str, num_envs: int, num_steps: int,
                 "layout (<=100 cells, <=4 players)"
             )
         b = need_block(min(block, num_envs), "overcooked persistent rollout")
-        carry = (init_packed(env, num_envs),
-                 init_action_rng(num_envs, env.num_agents))
-        return carry, None, overcooked_persistent_rollout_fn(
-            env, num_envs, num_steps, b
-        )
+        if b is not None:
+            carry = (init_packed(env, num_envs),
+                     init_action_rng(num_envs, env.num_agents))
+            return carry, None, overcooked_persistent_rollout_fn(
+                env, num_envs, num_steps, b
+            )
+        backend = "auto"
     if name in ("overcooked", "overcooked2") and backend != "jnp":
         from madrona_rl_envs_playground_tpu.ops.overcooked_pallas import (
             fused_supported,

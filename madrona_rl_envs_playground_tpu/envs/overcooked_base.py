@@ -169,11 +169,46 @@ class OvercookedEnv(EnvBase):
         # observer/player -> presence-channel map: self is channel 0, others
         # rank 1..P-1 in id order skipping self (oracle's other_i counter).
         P = self.num_players
+        shift = 5 * P
         ch = np.zeros((P, P), np.int32)
         for i in range(P):
             for j in range(P):
                 ch[i, j] = 0 if j == i else (j + 1 if j < i else j)
         self._ch_matrix = ch
+        # Key-compare tables for the player-block encode: channel c of
+        # observer i is ONE int16 equality test `key[i, c] == T[s, c]`,
+        # where key fuses position (presence channels) or position*4+
+        # orientation (orientation channels) of the statically-known player
+        # jmap[i, c], and T bakes the (x, y)-major cell id (and direction
+        # offset) per channel.  The per-observer channel permutation,
+        # presence one-hots and orientation one-hots all collapse into this
+        # single [P, S, 5P] broadcast compare — measured 2x the concat-of-
+        # column-blocks form at many_player P=30 on the v5e.
+        if self.size <= _SELECT_MAX_CELLS:
+            # int16 key envelope: keys reach (size-1)*4 + 3; guarded so a
+            # future _SELECT_MAX_CELLS bump past 8191 cells fails loudly
+            # instead of silently wrapping the table
+            assert self.size * 4 - 1 <= np.iinfo(np.int16).max
+            inv = np.argsort(ch, axis=1)  # observer, rank -> player id
+            jmap = np.zeros((P, shift), np.int32)
+            is_ori = np.zeros(shift, bool)
+            scale = np.ones(shift, np.int32)
+            offd = np.zeros(shift, np.int32)
+            for i in range(P):
+                for r in range(P):
+                    j = int(inv[i, r])
+                    jmap[i, r] = j
+                    for d in range(4):
+                        jmap[i, P + 4 * r + d] = j
+            for r in range(P):
+                for d in range(4):
+                    c = P + 4 * r + d
+                    is_ori[c], scale[c], offd[c] = True, 4, d
+            self._enc_jmap = jmap
+            self._enc_is_ori = is_ori
+            self._enc_T16 = (
+                self._perm_xy[:, None] * scale[None, :] + offd[None, :]
+            ).astype(np.int16)  # [S, 5P]
 
     def _config_key(self):
         return (
@@ -557,46 +592,19 @@ class OvercookedEnv(EnvBase):
                 cols[c] = cols[c] + jnp.sum(pos_oh8 * w[:, None], axis=0)
             shared_k = jnp.stack(cols, axis=1).astype(jnp.int8)  # [S, K]
 
-            if P <= 8:
-                # dense per-(observer, player) channel one-hot products —
-                # O(P^2 * S * 5P) but XLA fuses it into few large VPU ops;
-                # fastest at bench player counts
-                cr = jnp.arange(shift)
-                rows = []
-                for i in range(P):
-                    acc = jnp.zeros((S, shift), jnp.int8)
-                    for j in range(P):
-                        c1 = int(self._ch_matrix[i, j])
-                        chan_j = (
-                            (cr == c1)
-                            | (cr == P + 4 * c1 + state.orient[j])
-                        ).astype(jnp.int8)  # [shift] (channels are distinct)
-                        acc = acc + pos_oh8[j][:, None] * chan_j[None, :]
-                    rows.append(acc)
-                player_part = jnp.stack(rows)  # [P, S, shift] int8
-            else:
-                # many-player: each player contributes exactly 5 channels
-                # (presence + 4 orientation one-hots) and the per-observer
-                # channel ORDER is a static permutation of player rank
-                # (ch_matrix), so the [S, 5P] block is a static concat of
-                # per-player [S, 5] blocks — O(P^2 * 5 * S) (the dense form
-                # is ~34M elem-ops per env at P=30 and loses 2.5x to the A40)
-                ori_oh8 = (
-                    state.orient[:, None] == jnp.arange(4)[None, :]
-                ).astype(jnp.int8)  # [P, 4]
-                pres_cols = [pos_oh8[j][:, None] for j in range(P)]     # [S,1]
-                ori_cols = [
-                    pos_oh8[j][:, None] * ori_oh8[j][None, :] for j in range(P)
-                ]  # [S,4]
-                inv = np.argsort(self._ch_matrix, axis=1)  # rank -> player
-                rows = []
-                for i in range(P):
-                    order = [int(inv[i, r]) for r in range(P)]
-                    rows.append(jnp.concatenate(
-                        [pres_cols[j] for j in order]
-                        + [ori_cols[j] for j in order], axis=1,
-                    ))  # [S, 5P]
-                player_part = jnp.stack(rows)  # [P, S, shift] int8
+            # player block: the single key-compare (tables built in
+            # __init__) — one int16 equality per output element, no
+            # per-observer permutation cost
+            jm = jnp.asarray(self._enc_jmap)
+            jpos = state.pos[jm]                       # [P, 5P]
+            jori = state.orient[jm]
+            keys = jnp.where(
+                jnp.asarray(self._enc_is_ori)[None, :],
+                jpos * 4 + jori, jpos,
+            ).astype(jnp.int16)
+            player_part = (
+                keys[:, None, :] == jnp.asarray(self._enc_T16)[None, :, :]
+            ).astype(jnp.int8)  # [P, S, 5P]
             obs = jnp.concatenate(
                 [player_part, jnp.broadcast_to(shared_k, (P, S, K))], axis=2
             ).reshape(P, S * C)  # already (x, y, c)-ordered

@@ -44,6 +44,42 @@ import numpy as np
 
 Card = Tuple[int, int]  # (color, rank)
 
+
+class RecordingOracle:
+    """Sequential C++-derived oracle that records every hidden draw
+    (append-only card-id list) — the draw source for three-way diffs.
+    Defined lazily to avoid a hard import cycle with ``oracles.hanabi``."""
+
+    def __new__(cls, counter, **cfg):
+        from .hanabi import HanabiOracle
+
+        class _Recording(HanabiOracle):
+            def __init__(self, counter_, **kw):
+                self.drawn = []
+                super().__init__(counter_, **kw)
+
+            def _draw(self):
+                card = super()._draw()
+                self.drawn.append(card)
+                return card
+
+        return _Recording(counter, **cfg)
+
+
+def draw_cursor(queue, ranks: int):
+    """Independent read cursor over a recorded draw list: returns a
+    ``draw()`` callable yielding ``(color, rank)`` pairs, with a
+    ``.consumed()`` accessor for draw-accounting checks."""
+    pos = [0]
+
+    def draw():
+        cid = queue[pos[0]]
+        pos[0] += 1
+        return (cid // ranks, cid % ranks)
+
+    draw.consumed = lambda: pos[0]
+    return draw
+
 # move-type tags in HLE encoding order of the move-type one-hot is
 # (play, discard, reveal_color, reveal_rank); uid layout is
 # discard[H] | play[H] | reveal_color[(P-1)*C] | reveal_rank[(P-1)*R]

@@ -290,16 +290,24 @@ class SelfPlayPPO:
         # full-batch behavior.  Chunks slice the T axis only (identical
         # rows to the old T-major flat chunking), never the env axis.
         nmb = cfg.num_minibatches
-        if T % nmb:
-            raise ValueError(
-                f"num_minibatches={nmb} must divide num_steps={T} "
-                f"(minibatches are timestep bands so the sharded env axis "
-                f"is never re-partitioned)")
         batch = (buf.obs, buf.states, buf.actions, buf.action_masks,
                  buf.logprobs, b_adv, returns, buf.values, b_active)
-        chunks = jax.tree_util.tree_map(
-            lambda x: x.reshape((nmb, T // nmb) + x.shape[1:]), batch
-        )
+        if T % nmb == 0:
+            chunks = jax.tree_util.tree_map(
+                lambda x: x.reshape((nmb, T // nmb) + x.shape[1:]), batch
+            )
+        else:
+            # legacy fallback for nmb that doesn't divide T: the old
+            # T-major flat chunking (drops the remainder rows).  This
+            # merges the env axis — fine single-device, but on a mesh it
+            # forces an all-gather of the buffers; pick nmb | T for
+            # sharded runs (docs/multihost_projection.md).
+            mb = T * M // nmb
+            chunks = jax.tree_util.tree_map(
+                lambda x: x.reshape((T * M,) + x.shape[2:])[: nmb * mb]
+                .reshape((nmb, mb) + x.shape[2:]),
+                batch,
+            )
 
         def mb_loss(p, chunk):
             (c_obs, c_states, c_actions, c_masks, c_logprobs, c_adv,

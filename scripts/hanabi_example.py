@@ -17,7 +17,7 @@ def main():
     args = p.parse_args()
 
     from madrona_rl_envs_playground_tpu.envs.hanabi import CONFIGS, Env
-    from madrona_rl_envs_playground_tpu.oracles.hanabi import Counter, HanabiOracle
+    from madrona_rl_envs_playground_tpu.oracles.hanabi import Counter, HanabiOracle  # noqa: F401
     from madrona_rl_envs_playground_tpu.oracles.hanabi_rules import RulesHanabi
 
     cfg = CONFIGS[args.config]
@@ -31,30 +31,13 @@ def main():
     if args.validation:
         # three-way: sequential C++-derived oracle (also the hidden-draw
         # recorder) + the independent HLE-semantics rules oracle
+        from madrona_rl_envs_playground_tpu.oracles.hanabi_rules import (
+            RecordingOracle, draw_cursor)
+
         counter = Counter()
-
-        class Recording(HanabiOracle):
-            def __init__(self, *a, **k):
-                self.drawn = []
-                super().__init__(*a, **k)
-
-            def _draw(self):
-                card = super()._draw()
-                self.drawn.append(card)
-                return card
-
-        def source(queue):
-            pos = [0]
-
-            def draw():
-                cid = queue[pos[0]]
-                pos[0] += 1
-                return (cid // env.ranks, cid % env.ranks)
-
-            return draw
-
-        oracles = [Recording(counter, **cfg) for _ in range(args.num_envs)]
-        rules = [RulesHanabi(source(o.drawn), cxx_quirks=True, **cfg)
+        oracles = [RecordingOracle(counter, **cfg) for _ in range(args.num_envs)]
+        rules = [RulesHanabi(draw_cursor(o.drawn, env.ranks),
+                             cxx_quirks=True, **cfg)
                  for o in oracles]
 
         def validate(t, actions, out):

@@ -45,18 +45,28 @@ def collective_bytes_from_hlo(hlo_text: str):
     per-update traffic (main() does)."""
     per_kind = {}
     ops = []
-    pat = re.compile(
-        r"= *\(?([a-z0-9]+)\[([\d,]*)\][^=]*?"
-        r"(all-gather|all-reduce|reduce-scatter|all-to-all|collective-permute)")
+    kind_pat = re.compile(
+        r"=\s*(\(?[^=]*?)\s*"
+        r"(all-gather|all-reduce|reduce-scatter|all-to-all|collective-permute)"
+        r"[.\d]*\(")
+    shape_pat = re.compile(r"([a-z0-9]+)\[([\d,]*)\]")
     for line in hlo_text.splitlines():
-        m = pat.search(line)
+        # long tuples embed /*index=N*/ comments whose '=' breaks the
+        # [^=] capture group — strip them first
+        line = re.sub(r"/\*.*?\*/", "", line)
+        m = kind_pat.search(line)
         if not m:
             continue
-        dt, dims, kind = m.groups()
-        n = int(np.prod([int(d) for d in dims.split(",") if d])) if dims else 1
-        b = n * _DTYPE_BYTES.get(dt, 4)
-        per_kind[kind] = per_kind.get(kind, 0) + b
-        ops.append({"kind": kind, "dtype": dt, "shape": dims, "bytes": b})
+        shapes, kind = m.group(1), m.group(2)
+        # handles both plain `f32[..] = all-reduce(` and variadic
+        # (combiner-fused) `(f32[..], f32[..], ...) = all-reduce(` forms —
+        # every tuple element counts
+        for dt, dims in shape_pat.findall(shapes):
+            n = (int(np.prod([int(d) for d in dims.split(",") if d]))
+                 if dims else 1)
+            b = n * _DTYPE_BYTES.get(dt, 4)
+            per_kind[kind] = per_kind.get(kind, 0) + b
+            ops.append({"kind": kind, "dtype": dt, "shape": dims, "bytes": b})
     return per_kind, ops
 
 

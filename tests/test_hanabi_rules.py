@@ -12,36 +12,14 @@ import pytest
 
 from madrona_rl_envs_playground_tpu.core import Simulator
 from madrona_rl_envs_playground_tpu.envs.hanabi import CONFIGS, Env
-from madrona_rl_envs_playground_tpu.oracles.hanabi import Counter, HanabiOracle
-from madrona_rl_envs_playground_tpu.oracles.hanabi_rules import RulesHanabi
+from madrona_rl_envs_playground_tpu.oracles.hanabi import Counter
+from madrona_rl_envs_playground_tpu.oracles.hanabi_rules import (
+    RecordingOracle,
+    RulesHanabi,
+    draw_cursor as make_source,
+)
 
 N = 4
-
-
-class RecordingOracle(HanabiOracle):
-    """Sequential oracle that records every hidden draw (append-only)."""
-
-    def __init__(self, *args, **kwargs):
-        self.drawn = []
-        super().__init__(*args, **kwargs)
-
-    def _draw(self):
-        card = super()._draw()
-        self.drawn.append(card)
-        return card
-
-
-def make_source(queue, ranks):
-    """An independent read cursor over the shared draw record."""
-    pos = [0]
-
-    def draw():
-        cid = queue[pos[0]]
-        pos[0] += 1
-        return (cid // ranks, cid % ranks)
-
-    draw.consumed = lambda: pos[0]
-    return draw
 
 
 def pick(mask_row, rs):
