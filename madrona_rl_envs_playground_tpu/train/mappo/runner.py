@@ -240,13 +240,19 @@ class MAPPORunner:
                       f"{score:.3f}")
         return last_info
 
-    # ---- checkpointing (main_player.py:311-325) -----------------------
+    # ---- checkpointing (main_player.py:311-325, widened) ---------------
     def save(self, path: Optional[str] = None):
+        """The reference saves actor/critic state_dicts only; this also
+        persists both optimizer states and the ValueNorm stats so a
+        restored run RESUMES training rather than restarting Adam."""
         path = path or self.run_dir
         os.makedirs(path, exist_ok=True)
+        pol = self.trainer.state.policy
         blob = {
-            "actor_params": jax.device_get(self.trainer.state.policy.actor_params),
-            "critic_params": jax.device_get(self.trainer.state.policy.critic_params),
+            "actor_params": jax.device_get(pol.actor_params),
+            "critic_params": jax.device_get(pol.critic_params),
+            "actor_opt": jax.device_get(pol.actor_opt),
+            "critic_opt": jax.device_get(pol.critic_opt),
             "vn": jax.device_get(self.trainer.state.vn),
         }
         with open(os.path.join(path, "checkpoint.pkl"), "wb") as f:
@@ -259,6 +265,9 @@ class MAPPORunner:
         pol = self.trainer.state.policy.replace(
             actor_params=blob["actor_params"], critic_params=blob["critic_params"]
         )
+        if "actor_opt" in blob:  # older checkpoints: params only
+            pol = pol.replace(actor_opt=blob["actor_opt"],
+                              critic_opt=blob["critic_opt"])
         self.trainer.state = self.trainer.state.replace(policy=pol, vn=blob["vn"])
 
     # ---- deterministic eval (train/tester.py analog) ------------------

@@ -42,7 +42,24 @@ def main():
     else:
         raise ValueError(args.env_name)
 
-    runner = MAPPORunner(cfg, env, run_dir=args.run_dir)
+    # multi-host / multi-chip: same wiring as selfplay_train (no-op on one
+    # device; docs/multihost_projection.md runbook)
+    import jax
+
+    from madrona_rl_envs_playground_tpu.parallel import launch
+
+    distributed = launch.initialize()
+    mesh = None
+    if distributed or len(jax.devices()) > 1:
+        from madrona_rl_envs_playground_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        if cfg.n_rollout_threads % mesh.size:
+            raise SystemExit(
+                f"--n_rollout_threads {cfg.n_rollout_threads} must be "
+                f"divisible by the mesh size {mesh.size}")
+
+    runner = MAPPORunner(cfg, env, run_dir=args.run_dir, mesh=mesh)
     if args.model_dir:
         runner.restore(args.model_dir)
     runner.run()
