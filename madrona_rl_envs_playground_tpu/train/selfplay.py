@@ -172,8 +172,11 @@ class SelfPlayPPO:
     def _policy(self, params, key, out):
         """Batched forward for all seats. out fields [N, P, ...]."""
         N, P = out.active.shape
-        obs = out.obs.reshape(N * P, -1).astype(jnp.float32)
-        st = out.state_obs.reshape(N * P, -1).astype(jnp.float32)
+        # int8 obs feed the towers directly — MLPTower casts to its
+        # compute dtype (bf16 under use_bf16) at entry, so an f32 copy here
+        # would only add an extra materialized cast
+        obs = out.obs.reshape(N * P, -1)
+        st = out.state_obs.reshape(N * P, -1)
         mask = out.action_mask.reshape(N * P, -1)
         logits, value = self.net.apply(params, obs, st, mask)
         action = dist_sample(key, logits)
@@ -255,7 +258,7 @@ class SelfPlayPPO:
         )
 
         # Bootstrap values from the post-rollout observation.
-        final_state_obs = out.state_obs.reshape(M, -1).astype(jnp.float32)
+        final_state_obs = out.state_obs.reshape(M, -1)
         next_value = self.net.apply(
             state["params"], final_state_obs, method=CleanRLNetwork.get_value
         )
@@ -314,10 +317,7 @@ class SelfPlayPPO:
              c_returns, c_values, c_active) = chunk
             n_act = jnp.maximum(c_active.sum(), 1.0)
             mmean = lambda x: (x * c_active).sum() / n_act
-            logits, newvalue = self.net.apply(
-                p, c_obs.astype(jnp.float32), c_states.astype(jnp.float32),
-                c_masks,
-            )
+            logits, newvalue = self.net.apply(p, c_obs, c_states, c_masks)
             newlogprob = dist_log_prob(logits, c_actions)
             entropy = dist_entropy(logits)
             logratio = newlogprob - c_logprobs
