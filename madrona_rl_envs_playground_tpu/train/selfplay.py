@@ -389,15 +389,31 @@ class SelfPlayPPO:
         return new_state, metrics
 
     # ---- checkpointing -------------------------------------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str, with_env_state: bool = True) -> None:
+        """params + optimizer + RNG key always; by default also the batched
+        env state, making a restore a TRUE mid-stream resume (the reference
+        checkpoints params only).  ``with_env_state=False`` writes a
+        portable policy-only checkpoint (loadable at any num_envs)."""
         from ..utils.checkpoint import save_pytree
 
-        save_pytree(path, {k: self.state[k] for k in ("params", "opt_state", "key")})
+        keys = ["params", "opt_state", "key"]
+        if with_env_state:
+            keys += ["bstate", "out"]
+        save_pytree(path, {k: self.state[k] for k in keys})
 
     def load(self, path: str) -> None:
         from ..utils.checkpoint import load_pytree
 
         blob = load_pytree(path)
+        saved_n = next(
+            (int(l.shape[0]) for l in jax.tree_util.tree_leaves(
+                blob.get("bstate", ())) if getattr(l, "ndim", 0) >= 1),
+            self.num_envs,
+        )
+        if "bstate" in blob and saved_n != self.num_envs:
+            # env-state from a different batch size: policy-only restore
+            blob.pop("bstate")
+            blob.pop("out", None)
         self.state.update({k: jax.device_put(v) for k, v in blob.items()})
 
     # ------------------------------------------------------------------
