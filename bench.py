@@ -365,12 +365,9 @@ def _persistent_ok(env, name: str, num_envs: int) -> bool:
             PERSISTENT_MAX_BLOCK,
         )
 
-        # beyond the max block the persistent kernel goes multi-block and
-        # its [1, block] row ops cap at 1/8 VPU sublane utilization —
-        # measured SLOWER than the per-step kernel at 1M envs (1.70B vs
-        # 2.28B, ROADMAP round-3/4 notes) — so "best" keeps per-step there
-        if num_envs > PERSISTENT_MAX_BLOCK:
-            return False
+        # round 4: the sublane-packed persistent kernel ([8, block/8] world
+        # tiles) un-retired multi-block persistence — 8.1B steps/s @1M vs
+        # the rows form's 1.69B and the per-step kernel's 2.29B
         return pick_block(num_envs, PERSISTENT_MAX_BLOCK) is not None
     if name == "balance":
         from madrona_rl_envs_playground_tpu.ops.balance_pallas import (

@@ -118,10 +118,21 @@ def _build_kernel(block: int):
 
 
 def _make_step(block: int):
-    """Shared rows-form step (per-step kernel + persistent rollout):
-    state = (x, x_dot, theta, theta_dot, rng), base a [1, 1] running
-    episode counter.  Returns (state', d32, base')."""
-    B = block
+    """Rows-form step on [1, block] tiles (see ``_make_step2``)."""
+    return _make_step2(1, block)
+
+
+def _make_step2(R: int, L: int):
+    """Shared step body on [R, L] tiles: state = (x, x_dot, theta,
+    theta_dot, rng), base a [1, 1] running episode counter.  Returns
+    (state', d32, base').
+
+    World ``w`` of the tile sits at ``(w // L, w % L)`` (row-major), so
+    the world-order episode ranking decomposes into a within-row lane
+    prefix sum plus exclusive row offsets — allocation order is IDENTICAL
+    to the [1, R*L] rows form.  The packed persistent kernel uses R=8 so
+    every elementwise op (and the dominant prefix-sum chain) runs with all
+    VPU sublanes busy instead of 1/8."""
     f32 = jnp.float32
 
     def step(state, a, base):
@@ -147,14 +158,26 @@ def _make_step(block: int):
         d32 = done.astype(jnp.int32)
 
         # world-order rank within the block: log-step lane prefix sum
-        lane = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        lane = lax.broadcasted_iota(jnp.int32, (R, L), 1)
         ps = d32
         k = 1
-        while k < B:
+        while k < L:
             ps = ps + jnp.where(lane >= k, pltpu.roll(ps, shift=k, axis=1), 0)
             k *= 2
-        total = jnp.sum(d32, axis=1, keepdims=True)  # [1,1]
-        eps = base + (ps - d32)  # [1,B] episode index per resetting env
+        row_tot = jnp.sum(d32, axis=1, keepdims=True)  # [R, 1]
+        if R > 1:
+            # exclusive offsets of the preceding rows (same log trick on
+            # the sublane axis; R is tiny so this is 3 steps at R=8)
+            row = lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+            cum = row_tot
+            k = 1
+            while k < R:
+                cum = cum + jnp.where(row >= k,
+                                      pltpu.roll(cum, shift=k, axis=0), 0)
+                k *= 2
+            ps = ps + (cum - row_tot)
+        total = jnp.sum(row_tot, axis=0, keepdims=True)  # [1,1]
+        eps = base + (ps - d32)  # [R,L] episode index per resetting env
         base2 = base + total[0:1, 0:1]
 
         # fresh episode: TEA seed + 4 LCG draws (sim.cpp:47-66)
@@ -317,6 +340,103 @@ def _build_rollout_kernel(block: int, num_steps: int):
     return kernel
 
 
+def _build_rollout_kernel_packed(block: int, num_steps: int):
+    """Sublane-packed persistent rollout: each block's worlds live as
+    [8, block/8] tiles (world w at (w // L, w % L)), so every step op —
+    including the prefix-sum chain that dominates the rows form — runs at
+    full VPU sublane utilization.  Episode allocation order is IDENTICAL
+    to the rows form (row-major == world order), so the same jnp replay
+    reference validates both."""
+    L = block // 8
+    srl = lax.shift_right_logical
+    step = _make_step2(8, L)
+
+    def kernel(cnt_ref, st_ref, rng_ref, arng_ref,
+               st_o, rng_o, arng_o, done_cnt_o, cnt_o, chk_o, base_s):
+        gi = pl.program_id(0)
+
+        @pl.when(gi == 0)
+        def _():
+            base_s[0, 0] = cnt_ref[0, 0]
+
+        def body(_, carry):
+            x, xd, th, thd, v, w, base, dcnt, chk = carry
+            w2 = _lcg_next(w)
+            a = srl(w2, 23) & 1
+            (x3, xd3, th3, thd3, v5), d32, base = step(
+                (x, xd, th, thd, v), a, base
+            )
+            dcnt = dcnt + d32
+            chk = chk + x3
+            return (x3, xd3, th3, thd3, v5, w2, base, dcnt, chk)
+
+        init = (
+            st_ref[0, 0], st_ref[1, 0], st_ref[2, 0], st_ref[3, 0],
+            rng_ref[0], arng_ref[0],
+            jnp.full((1, 1), base_s[0, 0], jnp.int32),
+            jnp.zeros((8, L), jnp.int32),
+            jnp.zeros((8, L), jnp.float32),
+        )
+        x, xd, th, thd, v, w, base, dcnt, chk = lax.fori_loop(
+            0, num_steps, body, init
+        )
+        st_o[0, 0], st_o[1, 0], st_o[2, 0], st_o[3, 0] = x, xd, th, thd
+        rng_o[0] = v
+        arng_o[0] = w
+        done_cnt_o[0] = dcnt
+        chk_o[0] = chk
+        base_s[0, 0] = base[0, 0]
+
+        @pl.when(gi == pl.num_programs(0) - 1)
+        def _():
+            cnt_o[0, 0] = base_s[0, 0]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_rollout_packed(num_envs: int, block: int, num_steps: int,
+                             interpret: bool):
+    assert num_envs % block == 0 and block % 8 == 0, (num_envs, block)
+    NB, L = num_envs // block, block // 8
+    grid = (NB,)
+    kernel = _build_rollout_kernel_packed(block, num_steps)
+    st4 = pl.BlockSpec((4, 1, 8, L), lambda i: (0, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    t3 = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    sds = jax.ShapeDtypeStruct
+    call = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[smem11, st4, t3, t3],
+        out_specs=(st4, t3, t3, t3, smem11, t3),
+        out_shape=(
+            sds((4, NB, 8, L), jnp.float32),
+            sds((NB, 8, L), jnp.int32),
+            sds((NB, 8, L), jnp.int32),
+            sds((NB, 8, L), jnp.int32),
+            sds((1, 1), jnp.int32),
+            sds((NB, 8, L), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def rollout(grid_st, rng_i, act_rng, counter):
+        # free reshapes: worlds of block b land at [b, w//L, w%L] row-major
+        pk = lambda a: a.reshape(a.shape[0], NB, 8, L)
+        st, rng2, arng2, dcnt, cnt, chk = call(
+            counter.reshape(1, 1).astype(jnp.int32),
+            pk(grid_st), pk(rng_i)[0], pk(act_rng)[0]
+        )
+        unp = lambda a: a.reshape(1, num_envs)
+        return (st.reshape(4, num_envs), unp(rng2), unp(arng2), cnt[0, 0],
+                unp(dcnt)[0], unp(chk)[0])
+
+    return rollout
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_rollout(num_envs: int, block: int, num_steps: int,
                       interpret: bool):
@@ -363,12 +483,17 @@ PERSISTENT_MAX_BLOCK = 32_768
 
 def fused_rollout(grid_st: Array, rng_i: Array, act_rng: Array, counter,
                   num_steps: int, block: int = PERSISTENT_MAX_BLOCK,
-                  interpret: bool = False):
+                  interpret: bool = False, packed=None):
     """T fused cartpole steps in ONE kernel launch (multi-block grid).
 
     Returns (state' [4,N], rng' [1,N], act_rng' [1,N], counter',
     done_count [N], checksum [N]).  Episode indices are allocated block-
     sequentially (see the module note above).
+
+    ``packed=None`` auto-selects the sublane-packed kernel ([8, block/8]
+    world tiles, full VPU sublane utilization — measured 3x the rows form
+    at 1M envs) whenever the block shape allows; allocation order and
+    results are bit-identical either way.
     """
     N = grid_st.shape[-1]
     block = min(block, N, PERSISTENT_MAX_BLOCK)
@@ -378,6 +503,12 @@ def fused_rollout(grid_st: Array, rng_i: Array, act_rng: Array, counter,
             f"({N} % {block} != 0); use a power-of-two env count or pass a "
             f"block that divides it (Mosaic also requires block % 128 == 0 "
             f"or block == num_envs on real TPU)"
+        )
+    if packed is None:
+        packed = block % 8 == 0 and (interpret or (block // 8) % 128 == 0)
+    if packed:
+        return _compiled_rollout_packed(N, block, num_steps, interpret)(
+            grid_st, rng_i, act_rng, counter
         )
     return _compiled_rollout(N, block, num_steps, interpret)(
         grid_st, rng_i, act_rng, counter

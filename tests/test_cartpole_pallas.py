@@ -86,8 +86,10 @@ def test_cartpole_persistent_rollout_matches_jnp(blocks):
     from madrona_rl_envs_playground_tpu.core.types import BatchState
 
     env = cartpole.Env()
-    # TPU: N=512 keeps BLOCK a multiple of 128 lanes at both block counts
-    N, T = (64, 70) if INTERP else (512, 70)
+    # TPU: N=4096 makes BLOCK lane-aligned at both block counts AND large
+    # enough ((block//8) % 128 == 0) that the sublane-PACKED kernel is the
+    # one under test on hardware (interpret mode packs at any block)
+    N, T = (64, 70) if INTERP else (4096, 70)
     BLOCK = N // blocks
     bstate0, _ = batched_reset(env, N)
     grid0, rng0, c0 = init_packed(N)
@@ -137,3 +139,23 @@ def test_cartpole_persistent_rollout_matches_jnp(blocks):
     # chk is an f32 in-kernel accumulation; the reference accumulates in f64
     # (per-env sums of signed x sit near zero, so give an absolute floor)
     np.testing.assert_allclose(np.asarray(chk), cref, rtol=1e-4, atol=1e-2)
+
+
+def test_packed_rollout_equals_rows_rollout():
+    """The sublane-packed persistent kernel must produce outputs
+    bit-identical to the legacy rows-form kernel on the same inputs
+    (same world->episode allocation order by construction)."""
+    import numpy as np
+    from madrona_rl_envs_playground_tpu.ops.cartpole_pallas import (
+        fused_rollout, init_action_rng, init_packed)
+
+    N, T, BLOCK = 128, 40, 32
+    g0, r0, c0 = init_packed(N)
+    w0 = init_action_rng(N)
+    a = fused_rollout(g0, r0, w0, c0, T, block=BLOCK, interpret=True,
+                      packed=True)
+    b = fused_rollout(g0, r0, w0, c0, T, block=BLOCK, interpret=True,
+                      packed=False)
+    for x, y, name in zip(a, b, ("st", "rng", "arng", "cnt", "dcnt", "chk")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
