@@ -54,12 +54,19 @@ def unpack_state(loc, obs, time, rng_i) -> State:
 
 
 def _make_step(block: int):
-    """Shared rows-form step: ``step(state, a0, a1, base_row)`` with
-    ``state = (l0, l1, t, rng, obs_rows[14])`` -> ``(state', rew, d32,
+    """Rows-form step on [1, block] tiles (see ``_make_step2``)."""
+    return _make_step2(1, block)
+
+
+def _make_step2(TR: int, L: int):
+    """Shared step body on [TR, L] tiles: ``step(state, a0, a1, base_row)``
+    with ``state = (l0, l1, t, rng, obs_rows[14])`` -> ``(state', rew, d32,
     base_row')``.  ``base_row`` is the running episode counter as a [1, 1]
     value (SMEM-backed in the per-step kernel, loop-carried in the
-    persistent kernel)."""
-    B = block
+    persistent kernel).  World ``w`` sits at ``(w // L, w % L)`` so the
+    world-order ranking (lane prefix + exclusive row offsets) allocates
+    episode indices in EXACTLY the [1, TR*L] rows order — the sublane-
+    packed persistent kernel (TR=8) is bit-identical to the rows form."""
     f32 = jnp.float32
 
     def step(state, a0, a1, base):
@@ -89,13 +96,23 @@ def _make_step(block: int):
         d32 = done.astype(jnp.int32)
 
         # world-order rank within the block (see cartpole_pallas)
-        lane = lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        lane = lax.broadcasted_iota(jnp.int32, (TR, L), 1)
         ps = d32
         k = 1
-        while k < B:
+        while k < L:
             ps = ps + jnp.where(lane >= k, pltpu.roll(ps, shift=k, axis=1), 0)
             k *= 2
-        total = jnp.sum(d32, axis=1, keepdims=True)
+        row_tot = jnp.sum(d32, axis=1, keepdims=True)
+        if TR > 1:
+            row = lax.broadcasted_iota(jnp.int32, (TR, 1), 0)
+            cum = row_tot
+            k = 1
+            while k < TR:
+                cum = cum + jnp.where(row >= k,
+                                      pltpu.roll(cum, shift=k, axis=0), 0)
+                k *= 2
+            ps = ps + (cum - row_tot)
+        total = jnp.sum(row_tot, axis=0, keepdims=True)
         eps = base + (ps - d32)
         base2 = base + total[0:1, 0:1]
 
@@ -322,6 +339,113 @@ def _build_rollout_kernel(block: int, num_steps: int):
 PERSISTENT_MAX_BLOCK = 16_384
 
 
+def _build_rollout_kernel_packed(block: int, num_steps: int):
+    """Sublane-packed persistent rollout (see cartpole_pallas): worlds as
+    [8, block/8] tiles, full VPU sublane utilization, identical episode
+    allocation order to the rows form."""
+    L = block // 8
+    R = 2 * (2 * TIME + 1)
+    step = _make_step2(8, L)
+
+    def kernel(cnt_ref, loc_ref, obs_ref, t_ref, rng_ref, arng_ref,
+               loc_o, obs_o, t_o, rng_o, arng_o, dcnt_o, cnt_o, chk_o,
+               base_s):
+        gi = pl.program_id(0)
+
+        @pl.when(gi == 0)
+        def _():
+            base_s[0, 0] = cnt_ref[0, 0]
+
+        init = (
+            loc_ref[0, 0], loc_ref[1, 0], t_ref[0], rng_ref[0],
+            tuple(obs_ref[r, 0] for r in range(R)),
+            arng_ref[0, 0], arng_ref[1, 0],
+            jnp.full((1, 1), base_s[0, 0], jnp.int32),
+            jnp.zeros((8, L), jnp.int32),     # done count
+            jnp.zeros((8, L), jnp.float32),   # checksum
+        )
+
+        def body(_, carry):
+            l0, l1, t, rng, obs, w0, w1, base, dcnt, chk = carry
+            w0 = _lcg_next(w0)
+            w1 = _lcg_next(w1)
+            u = lambda w: lax.shift_right_logical(
+                (lax.shift_right_logical(w, 8) & jnp.int32(0x00FFFFFF)) * 4,
+                24)
+            (l0, l1, t, rng, nobs), rew, d32, base = step(
+                (l0, l1, t, rng, list(obs)), u(w0), u(w1), base
+            )
+            obs_sum = jnp.zeros((8, L), jnp.int32)
+            for r in range(R):
+                obs_sum = obs_sum + nobs[r]
+            chk = chk + obs_sum.astype(jnp.float32) + rew + d32
+            dcnt = dcnt + d32
+            return (l0, l1, t, rng, tuple(nobs), w0, w1, base, dcnt, chk)
+
+        out = lax.fori_loop(0, num_steps, body, init)
+        l0, l1, t, rng, obs, w0, w1, base, dcnt, chk = out
+        loc_o[0, 0], loc_o[1, 0] = l0, l1
+        t_o[0] = t
+        rng_o[0] = rng
+        for r in range(R):
+            obs_o[r, 0] = obs[r]
+        arng_o[0, 0], arng_o[1, 0] = w0, w1
+        dcnt_o[0] = dcnt
+        chk_o[0] = chk
+        base_s[0, 0] = base[0, 0]
+
+        @pl.when(gi == pl.num_programs(0) - 1)
+        def _():
+            cnt_o[0, 0] = base_s[0, 0]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_rollout_packed(num_envs: int, block: int, num_steps: int,
+                             interpret: bool):
+    assert num_envs % block == 0 and block % 8 == 0, (num_envs, block)
+    NB, L = num_envs // block, block // 8
+    R = 2 * (2 * TIME + 1)
+    kernel = _build_rollout_kernel_packed(block, num_steps)
+    pk4 = lambda r: pl.BlockSpec((r, 1, 8, L), lambda i: (0, i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    pk3 = pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    smem11 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    sds = jax.ShapeDtypeStruct
+    call = pl.pallas_call(
+        kernel, grid=(NB,),
+        in_specs=[smem11, pk4(2), pk4(R), pk3, pk3, pk4(2)],
+        out_specs=(pk4(2), pk4(R), pk3, pk3, pk4(2), pk3, smem11, pk3),
+        out_shape=(
+            sds((2, NB, 8, L), jnp.int32),
+            sds((R, NB, 8, L), jnp.int32),
+            sds((NB, 8, L), jnp.int32),
+            sds((NB, 8, L), jnp.int32),
+            sds((2, NB, 8, L), jnp.int32),
+            sds((NB, 8, L), jnp.int32),
+            sds((1, 1), jnp.int32),
+            sds((NB, 8, L), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def rollout(loc, obs, time, rng_i, counter, act_rng):
+        pk = lambda a: a.reshape(a.shape[0], NB, 8, L)
+        loc2, obs2, t2, rng2, arng2, dcnt, cnt, chk = call(
+            counter.reshape(1, 1).astype(jnp.int32),
+            pk(loc), pk(obs), pk(time)[0], pk(rng_i)[0], pk(act_rng),
+        )
+        un = lambda a: a.reshape(a.shape[0], num_envs)
+        un1 = lambda a: a.reshape(1, num_envs)
+        return (un(loc2), un(obs2), un1(t2), un1(rng2), un(arng2),
+                cnt[0, 0], un1(dcnt)[0], un1(chk)[0])
+
+    return rollout
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_rollout(num_envs: int, block: int, num_steps: int,
                       interpret: bool):
@@ -364,11 +488,13 @@ def _compiled_rollout(num_envs: int, block: int, num_steps: int,
 
 def fused_rollout(loc, obs, time, rng_i, counter, act_rng, num_steps: int,
                   block: int = PERSISTENT_MAX_BLOCK,
-                  interpret: bool = False):
+                  interpret: bool = False, packed=None):
     """T fused balance steps in ONE launch (multi-block grid).
 
     Returns ``(loc', obs', time', rng', act_rng', counter', done_count [N],
-    checksum [N])``; episode indices allocate block-sequentially."""
+    checksum [N])``; episode indices allocate block-sequentially.
+    ``packed=None`` auto-selects the sublane-packed kernel where the block
+    shape allows (bit-identical results, ~4x at 1M envs)."""
     N = loc.shape[-1]
     block = min(block, N, PERSISTENT_MAX_BLOCK)
     if N % block:
@@ -376,6 +502,12 @@ def fused_rollout(loc, obs, time, rng_i, counter, act_rng, num_steps: int,
             f"persistent rollout needs num_envs divisible by the env block "
             f"({N} % {block} != 0); use a power-of-two env count or pass a "
             f"block that divides it"
+        )
+    if packed is None:
+        packed = block % 8 == 0 and (interpret or (block // 8) % 128 == 0)
+    if packed:
+        return _compiled_rollout_packed(N, block, num_steps, interpret)(
+            loc, obs, time, rng_i, counter, act_rng
         )
     return _compiled_rollout(N, block, num_steps, interpret)(
         loc, obs, time, rng_i, counter, act_rng

@@ -83,8 +83,10 @@ def test_balance_persistent_rollout_matches_jnp():
     )
 
     env = balance_beam.Env()
-    N, T = 64, 50
-    BLOCK = 16 if INTERP else 64
+    # TPU sizes make (BLOCK//8) lane-aligned so the sublane-PACKED kernel
+    # is the one validated on hardware (interpret packs at any block)
+    N, T = (64, 50) if INTERP else (2048, 50)
+    BLOCK = 16 if INTERP else 1024
     blocks = N // BLOCK
     bstate0, _ = batched_reset(env, N)
     loc, obs, time, rng_i = pack_state(bstate0.env_states)
@@ -135,3 +137,24 @@ def test_balance_persistent_rollout_matches_jnp():
     np.testing.assert_array_equal(
         np.asarray(arng2), np.concatenate(final_w, axis=1))
     np.testing.assert_allclose(np.asarray(chk), cref, rtol=1e-5, atol=1e-3)
+
+
+def test_packed_rollout_equals_rows_rollout():
+    """Sublane-packed persistent kernel vs the legacy rows kernel on the
+    same inputs: every output bit-identical (same allocation order)."""
+    import numpy as np
+    from madrona_rl_envs_playground_tpu.core.batch import batched_reset
+    from madrona_rl_envs_playground_tpu.envs import balance_beam
+    from madrona_rl_envs_playground_tpu.ops.balance_pallas import (
+        fused_rollout, init_action_rng, pack_state)
+
+    bstate0, _ = batched_reset(balance_beam.Env(), 128)
+    loc, obs, time, rng_i = pack_state(bstate0.env_states)
+    c0 = bstate0.episode_counter.astype("int32")
+    w0 = init_action_rng(128)
+    a = fused_rollout(loc, obs, time, rng_i, c0, w0, 40, block=32,
+                      interpret=True, packed=True)
+    b = fused_rollout(loc, obs, time, rng_i, c0, w0, 40, block=32,
+                      interpret=True, packed=False)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
