@@ -67,6 +67,14 @@ class SelfPlayConfig:
     # trajectories are bit-identical either way (tests/test_fused_collect.py) —
     # this only changes how many HBM round-trips one env step costs.
     rollout_backend: str = "auto"
+    # Value-loss variant.  "clipped_mse" follows the decentralized driver
+    # (reference ``vectoragent.py:330-346``, gated by clip_vloss/vf_coef).
+    # "smooth_l1" reproduces the centralized self-play driver
+    # (``centralized_agent.py:381``): huber(beta=1) value loss, no vf_coef,
+    # and the ENTIRE loss scaled x128 (``centralized_agent.py:384``) —
+    # equivalent to a 128x learning-rate-ish gradient scale the reference
+    # ships with; reproduced verbatim for parity.
+    value_loss: str = "clipped_mse"
 
 
 def credit_rewards(rewards: Array, active: Array, dones: Array) -> Tuple[Array, Array]:
@@ -187,7 +195,9 @@ class SelfPlayPPO:
             value.reshape(N, P),
         )
 
-    def _train_step(self, state, _=None):
+    def _rollout(self, state):
+        """Phase 1: the ``num_steps`` env+policy scan.  Returns the advanced
+        env state/out/key and the stacked trajectory buffers [T, N*P, ...]."""
         cfg = self.cfg
         env = self.env
         N = self.num_envs
@@ -232,7 +242,15 @@ class SelfPlayPPO:
             length=cfg.num_steps,
         )
         bstate = fused.unpack(ecarry) if fused is not None else ecarry
+        return bstate, out, key, tr
 
+    def _advantage(self, params, tr, out):
+        """Phase 2: credit routing + bootstrap + GAE + advantage norm +
+        minibatch chunking.  Returns (chunks, stats) where stats carries the
+        masked-mean ingredients for the reward/value metrics."""
+        cfg = self.cfg
+        N = self.num_envs
+        P = self.env.num_agents
         T = cfg.num_steps
         M = N * P
 
@@ -260,7 +278,7 @@ class SelfPlayPPO:
         # Bootstrap values from the post-rollout observation.
         final_state_obs = out.state_obs.reshape(M, -1)
         next_value = self.net.apply(
-            state["params"], final_state_obs, method=CleanRLNetwork.get_value
+            params, final_state_obs, method=CleanRLNetwork.get_value
         )
         final_active = out.active.reshape(M)
         next_done = jnp.repeat(out.done[:, None], P, axis=1).reshape(M)
@@ -311,6 +329,16 @@ class SelfPlayPPO:
                 .reshape((nmb, mb) + x.shape[2:]),
                 batch,
             )
+        stats = {
+            "mean_step_reward": masked_mean(credited),
+            "mean_value": masked_mean(buf.values),
+        }
+        return chunks, stats
+
+    def _update(self, params, opt_state, chunks):
+        """Phase 3: the PPO epochs/minibatch scan.  Pure function of
+        (params, opt_state, chunks); returns the last epoch's aux losses."""
+        cfg = self.cfg
 
         def mb_loss(p, chunk):
             (c_obs, c_states, c_actions, c_masks, c_logprobs, c_adv,
@@ -328,22 +356,31 @@ class SelfPlayPPO:
                     -c_adv * jnp.clip(ratio, 1 - cfg.clip_coef, 1 + cfg.clip_coef),
                 )
             )
-            if cfg.clip_vloss:
-                vl = 0.5 * mmean(
-                    jnp.maximum(
-                        (newvalue - c_returns) ** 2,
-                        (
-                            c_values
-                            + jnp.clip(newvalue - c_values, -cfg.clip_coef, cfg.clip_coef)
-                            - c_returns
-                        )
-                        ** 2,
-                    )
-                )
+            if cfg.value_loss == "smooth_l1":
+                # centralized_agent.py:381 — huber(beta=1) on the value head,
+                # no vf_coef, whole loss x128 (:384).
+                err = newvalue - c_returns
+                a = jnp.abs(err)
+                vl = mmean(jnp.where(a < 1.0, 0.5 * err * err, a - 0.5))
+                ent = mmean(entropy)
+                total = (pg - cfg.ent_coef * ent + vl) * 128.0
             else:
-                vl = 0.5 * mmean((newvalue - c_returns) ** 2)
-            ent = mmean(entropy)
-            total = pg - cfg.ent_coef * ent + vl * cfg.vf_coef
+                if cfg.clip_vloss:
+                    vl = 0.5 * mmean(
+                        jnp.maximum(
+                            (newvalue - c_returns) ** 2,
+                            (
+                                c_values
+                                + jnp.clip(newvalue - c_values, -cfg.clip_coef, cfg.clip_coef)
+                                - c_returns
+                            )
+                            ** 2,
+                        )
+                    )
+                else:
+                    vl = 0.5 * mmean((newvalue - c_returns) ** 2)
+                ent = mmean(entropy)
+                total = pg - cfg.ent_coef * ent + vl * cfg.vf_coef
             kl = mmean((ratio - 1) - logratio)
             return total, (pg, vl, ent, kl)
 
@@ -366,9 +403,21 @@ class SelfPlayPPO:
 
         (params, opt_state), auxes = jax.lax.scan(
             epoch_body,
-            (state["params"], state["opt_state"]),
+            (params, opt_state),
             None,
             length=cfg.update_epochs,
+        )
+        return params, opt_state, auxes
+
+    def _train_step(self, state, _=None):
+        """rollout -> advantage -> update, composed in one jit (XLA fuses
+        across the phase seams; the split exists so
+        ``scripts/profile_train_step.py`` can compile and time each phase
+        on its own)."""
+        bstate, out, key, tr = self._rollout(state)
+        chunks, stats = self._advantage(state["params"], tr, out)
+        params, opt_state, auxes = self._update(
+            state["params"], state["opt_state"], chunks
         )
 
         metrics = {
@@ -376,8 +425,7 @@ class SelfPlayPPO:
             "v_loss": auxes[1][-1],
             "entropy": auxes[2][-1],
             "approx_kl": auxes[3][-1],
-            "mean_step_reward": masked_mean(credited),
-            "mean_value": masked_mean(buf.values),
+            **stats,
         }
         new_state = {
             "params": params,

@@ -58,6 +58,12 @@ def main():
                    choices=["auto", "pallas", "jnp"],
                    help="rollout collection: fused megakernel (default-on "
                         "on TPU where the env has one) or the jnp scan")
+    p.add_argument("--value-loss", default="clipped_mse",
+                   choices=["clipped_mse", "smooth_l1"],
+                   help="clipped_mse = decentralized driver "
+                        "(vectoragent.py); smooth_l1 = centralized driver's "
+                        "huber loss with its x128 whole-loss scale "
+                        "(centralized_agent.py:381-384)")
     args = p.parse_args()
 
     from madrona_rl_envs_playground_tpu.parallel import launch
@@ -82,7 +88,7 @@ def main():
         num_steps=args.num_steps, lr=args.lr, hidden=args.hidden,
         num_layers=args.layers, update_epochs=args.epochs, ent_coef=args.ent_coef,
         num_minibatches=args.num_minibatches, use_bf16=args.bf16,
-        rollout_backend=args.rollout_backend,
+        rollout_backend=args.rollout_backend, value_loss=args.value_loss,
     )
     trainer = SelfPlayPPO(env, num_envs=args.num_envs, cfg=cfg, seed=args.seed,
                           mesh=mesh)
