@@ -32,6 +32,12 @@ class MAPPOConfig:
     use_recurrent_policy: bool = False
     recurrent_N: int = 1
     data_chunk_length: int = 10
+    # Feed grid-shaped [W, H, C] observations so the policy base resolves to
+    # CNNBase (reference train/MAPPO/utils/cnn.py — there the selection is
+    # implicit from a 3-D obs space; here the envs expose flat obs so the
+    # reshape is flag-gated).  Only the overcooked family carries a grid
+    # factorization (env.width/height/num_channels).
+    use_cnn_obs: bool = False
     # optimizer
     lr: float = 5e-4
     critic_lr: float = 5e-4

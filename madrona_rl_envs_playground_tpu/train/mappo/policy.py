@@ -46,8 +46,12 @@ class MAPPOPolicy:
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         L, H = mc.recurrent_N, mc.hidden_size
-        dummy_obs = jnp.zeros((1,) + self.obs_shape)
-        dummy_sobs = jnp.zeros((1,) + self.share_obs_shape)
+        # networks take FLAT obs rows [..., F] and reshape to obs_shape
+        # internally (a grid obs_shape selects CNNBase)
+        import math
+
+        dummy_obs = jnp.zeros((1, math.prod(self.obs_shape)))
+        dummy_sobs = jnp.zeros((1, math.prod(self.share_obs_shape)))
         dummy_rnn = jnp.zeros((1, L, H))
         dummy_mask = jnp.ones((1,))
         actor_params = self.actor.init(k1, dummy_obs, dummy_rnn, dummy_mask)

@@ -43,10 +43,23 @@ class MAPPORunner:
         self.env = env
         self.N = cfg.n_rollout_threads
         self.A = env.num_agents
+        obs_shape = (env.obs_size,)
+        share_obs_shape = (env.state_size,)
+        if cfg.use_cnn_obs:
+            # grid envs only: flat obs is (x, y, c)-ordered, so the [W,H,C]
+            # reshape inside R_Actor/R_Critic recovers the spatial layout the
+            # reference CNN sees (utils/cnn.py input (W, H, C))
+            if not hasattr(env, "width"):
+                raise ValueError(
+                    f"--use_cnn_obs needs a grid env (width/height/"
+                    f"num_channels); {type(env).__name__} has flat obs only")
+            obs_shape = (env.width, env.height, env.num_channels)
+            if env.state_size == env.obs_size:
+                share_obs_shape = obs_shape
         self.policy = MAPPOPolicy(
             cfg,
-            obs_shape=(env.obs_size,),
-            share_obs_shape=(env.state_size,),
+            obs_shape=obs_shape,
+            share_obs_shape=share_obs_shape,
             num_actions=env.num_actions,
             seed=cfg.seed,
         )

@@ -183,3 +183,34 @@ def test_mappo_popart_smoke():
     runner = MAPPORunner(cfg, balance_beam.Env())
     info = runner.run(episodes=2)
     assert np.isfinite(float(info["value_loss"]))
+
+
+def test_mappo_cnn_smoke():
+    """use_cnn_obs routes the base to CNNBase over the overcooked [W,H,C]
+    grid (reference train/MAPPO/utils/cnn.py, selected by 3-D obs shape);
+    train + eval run and the actor params contain the conv kernel."""
+    from madrona_rl_envs_playground_tpu.envs import overcooked2
+
+    cfg = MAPPOConfig(
+        episode_length=8, n_rollout_threads=4, hidden_size=32, layer_N=1,
+        ppo_epoch=2, use_cnn_obs=True,
+    )
+    env = overcooked2.make("cramped_room", horizon=8)
+    runner = MAPPORunner(cfg, env)
+    # the base resolved to the CNN: a Conv kernel [3,3,C,hidden//2] exists
+    leaves = jax.tree_util.tree_leaves_with_path(runner.policy.state.actor_params)
+    conv = [p for p, l in leaves if getattr(l, "ndim", 0) == 4]
+    assert conv, "no 4-D conv kernel in actor params — CNNBase not selected"
+    info = runner.run(episodes=2)
+    assert np.isfinite(float(info["value_loss"]))
+    assert np.isfinite(runner.evaluate(episodes=1, deterministic=True))
+
+
+def test_mappo_cnn_obs_requires_grid_env():
+    cfg = MAPPOConfig(episode_length=4, n_rollout_threads=2, hidden_size=16,
+                      use_cnn_obs=True)
+    try:
+        MAPPORunner(cfg, balance_beam.Env())
+        raise AssertionError("expected ValueError for flat-obs env")
+    except ValueError:
+        pass
