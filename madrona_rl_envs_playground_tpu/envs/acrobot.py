@@ -83,6 +83,10 @@ def _wrap(x, lo, hi):
 
 
 class Env(EnvBase):
+    # step() emits state_obs==obs and all-ones mask/active (see EnvBase)
+    state_is_obs = True
+    masked = False
+
     num_agents = 1
     obs_size = 4
     state_size = 4

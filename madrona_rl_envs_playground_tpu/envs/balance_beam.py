@@ -36,6 +36,10 @@ class State:
 
 
 class Env(EnvBase):
+    # step() emits state_obs==obs and all-ones mask/active (see EnvBase)
+    state_is_obs = True
+    masked = False
+
     num_agents = 2
     obs_size = 2 * TIME + 1
     state_size = 2 * TIME + 1

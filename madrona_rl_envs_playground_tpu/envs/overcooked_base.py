@@ -96,6 +96,10 @@ class State:
 
 
 class OvercookedEnv(EnvBase):
+    # step() emits state_obs==obs and all-ones mask/active (see EnvBase)
+    state_is_obs = True
+    masked = False
+
     """One compiled executable per (variant, layout) config, like the reference."""
 
     reward_dtype = jnp.int32

@@ -47,7 +47,14 @@ def masked_categorical_logits(logits: Array, action_mask) -> Array:
 
 def dist_log_prob(logits: Array, actions: Array) -> Array:
     lp = jax.nn.log_softmax(logits, axis=-1)
-    return jnp.take_along_axis(lp, actions[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    # one-hot select instead of take_along_axis: the 1-element-per-row
+    # gather lowered to a scalar-loop kCustom fusion measured at 10.3 ms
+    # per PPO epoch / 124 us per rollout step at 8k envs (r5 trace) — the
+    # single biggest op in the train step.  The compare+where+sum form is
+    # a pure VPU fusion over [rows, A] and returns the exact same element.
+    onehot = actions[..., None].astype(jnp.int32) == jnp.arange(
+        logits.shape[-1], dtype=jnp.int32)
+    return jnp.where(onehot, lp, 0.0).sum(axis=-1)
 
 
 def dist_entropy(logits: Array) -> Array:

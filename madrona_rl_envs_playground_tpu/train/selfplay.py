@@ -34,7 +34,7 @@ import optax
 from ..core.batch import batched_reset, batched_step
 from ..models.cleanrl import CleanRLNetwork
 from ..models.common import dist_entropy, dist_log_prob, dist_sample
-from .cleanrl_ppo import Rollout, active_masked_gae
+from .cleanrl_ppo import Rollout, active_masked_gae, plain_gae
 
 Array = jnp.ndarray
 
@@ -172,6 +172,19 @@ class SelfPlayPPO:
             on_tpu = jax.default_backend() == "tpu"
             if cfg.rollout_backend == "pallas" or on_tpu:
                 self._fused = make_fused_collect(env, num_envs, mesh=mesh)
+        # Static structure hints (EnvBase.state_is_obs / .masked): envs whose
+        # state_obs aliases obs store ONE trajectory buffer instead of two,
+        # and envs that always emit all-ones mask/active skip storing them
+        # and skip the credit-routing scan entirely — the r5 trace showed
+        # the duplicate obs store + constant mask/active stores were ~40% of
+        # the rollout loop at the published 8k config.
+        self._alias = bool(getattr(env, "state_is_obs", False))
+        self._masked = bool(getattr(env, "masked", True))
+        # Rollout obs stays in the env's native dtype (int8 for the grid
+        # envs): r5 traces showed XLA fuses the per-epoch widening into the
+        # first-layer matmul reads, while storing wide costs a materialized
+        # cast copy per rollout step AND doubles the epoch read traffic.
+        self._store_dtype = None
         # No donation: StepOutput.obs/state_obs may alias one buffer (envs
         # where state==obs), and donating an aliased pytree is an error.
         self.train_step = jax.jit(self._train_step)
@@ -184,8 +197,8 @@ class SelfPlayPPO:
         # compute dtype (bf16 under use_bf16) at entry, so an f32 copy here
         # would only add an extra materialized cast
         obs = out.obs.reshape(N * P, -1)
-        st = out.state_obs.reshape(N * P, -1)
-        mask = out.action_mask.reshape(N * P, -1)
+        st = obs if self._alias else out.state_obs.reshape(N * P, -1)
+        mask = (out.action_mask.reshape(N * P, -1) if self._masked else None)
         logits, value = self.net.apply(params, obs, st, mask)
         action = dist_sample(key, logits)
         logp = dist_log_prob(logits, action)
@@ -222,17 +235,25 @@ class SelfPlayPPO:
             # pads int8 obs 2.5x / f32 [N, P=2] rows 64x — at 32k envs that
             # alone OOMs the 16G HBM (s8[64,32768,2,520] padded 2.03G->5G).
             M_ = N * P
+            obs_s = out.obs.reshape(M_, -1)
+            if self._store_dtype is not None:
+                obs_s = obs_s.astype(self._store_dtype)
             ys = {
-                "obs": out.obs.reshape(M_, -1),
-                "state_obs": out.state_obs.reshape(M_, -1),
-                "mask": out.action_mask.reshape(M_, -1),
-                "active": out.active.reshape(M_),
+                "obs": obs_s,
                 "action": action.reshape(M_),
                 "logp": logp.reshape(M_),
                 "value": value.reshape(M_),
                 "reward": out2.reward.astype(jnp.float32).reshape(M_),
                 "done": jnp.repeat(out2.done[:, None], P, 1).reshape(M_),
             }
+            if not self._alias:
+                st_s = out.state_obs.reshape(M_, -1)
+                if self._store_dtype is not None:
+                    st_s = st_s.astype(self._store_dtype)
+                ys["state_obs"] = st_s
+            if self._masked:
+                ys["mask"] = out.action_mask.reshape(M_, -1)
+                ys["active"] = out.active.reshape(M_)
             return (ecarry2, out2, key), ys
 
         (ecarry, out, key), tr = jax.lax.scan(
@@ -254,24 +275,32 @@ class SelfPlayPPO:
         T = cfg.num_steps
         M = N * P
 
-        credited, slot_dones = credit_rewards(
-            tr["reward"], tr["active"], tr["done"]
-        )
+        if self._masked:
+            credited, slot_dones = credit_rewards(
+                tr["reward"], tr["active"], tr["done"]
+            )
+        else:
+            # every seat acts every step: the inactive-reward routing is the
+            # identity and slot-dones are the one-step-shifted dones — no
+            # sequential scans needed
+            credited = tr["reward"]
+            slot_dones = jnp.concatenate(
+                [jnp.zeros((1, M), tr["done"].dtype), tr["done"][:-1]], axis=0
+            )
 
-        # obs/state stay in the env's native dtype (int8 for the grid envs):
-        # the cast to compute dtype happens per-minibatch inside mb_loss.
-        # Materializing f32 copies here would 4x the HBM traffic of both the
-        # collect writes and every PPO-epoch read — measured ~2x end-to-end
-        # train_step time at 8k envs on v5e.
+        # Rollout buffers keep the storage dtype chosen in __init__ (compute
+        # dtype when affordable — kills the per-epoch cast that the r5 trace
+        # measured as the largest single update op; env-native int8 at
+        # batch sizes where the wide buffer would blow HBM).
         buf = Rollout(
             obs=tr["obs"],
-            states=tr["state_obs"],
+            states=tr["obs"] if self._alias else tr["state_obs"],
             actions=tr["action"],
-            action_masks=tr["mask"],
+            action_masks=tr.get("mask"),
             logprobs=tr["logp"],
             rewards=credited,
             dones=slot_dones,
-            active=tr["active"],
+            active=tr.get("active"),
             values=tr["value"],
         )
 
@@ -280,12 +309,22 @@ class SelfPlayPPO:
         next_value = self.net.apply(
             params, final_state_obs, method=CleanRLNetwork.get_value
         )
-        final_active = out.active.reshape(M)
         next_done = jnp.repeat(out.done[:, None], P, axis=1).reshape(M)
 
-        advantages, returns, active = active_masked_gae(
-            buf, next_value, next_done, final_active, cfg.gamma, cfg.gae_lambda
-        )
+        if self._masked:
+            final_active = out.active.reshape(M)
+            advantages, returns, active = active_masked_gae(
+                buf, next_value, next_done, final_active,
+                cfg.gamma, cfg.gae_lambda
+            )
+        else:
+            # all-active specialization: log-depth associative-scan GAE
+            # (train/cleanrl_ppo.plain_gae) instead of T sequential steps
+            advantages, returns = plain_gae(
+                buf.rewards, buf.dones, buf.values, next_value, next_done,
+                cfg.gamma, cfg.gae_lambda
+            )
+            active = None
 
         # Everything below stays [T, M, ...] — M is the (sharded) env axis
         # and merging it with T (the old flat()) produced a sharding GSPMD
@@ -294,9 +333,14 @@ class SelfPlayPPO:
         # — measured from the compiled sharded HLO).  Dense layers map over
         # all leading axes, and the masked means are order-invariant, so
         # the update is unchanged while grads reduce with one small psum.
-        b_active = active.astype(jnp.float32)
-        n_active = jnp.maximum(b_active.sum(), 1.0)
-        masked_mean = lambda x: (x * b_active).sum() / n_active
+        if active is None:
+            b_active = None
+            n_active = float(T * M)
+            masked_mean = lambda x: jnp.mean(x)
+        else:
+            b_active = active.astype(jnp.float32)
+            n_active = jnp.maximum(b_active.sum(), 1.0)
+            masked_mean = lambda x: (x * b_active).sum() / n_active
 
         b_adv = advantages
         if cfg.norm_adv:
@@ -343,8 +387,11 @@ class SelfPlayPPO:
         def mb_loss(p, chunk):
             (c_obs, c_states, c_actions, c_masks, c_logprobs, c_adv,
              c_returns, c_values, c_active) = chunk
-            n_act = jnp.maximum(c_active.sum(), 1.0)
-            mmean = lambda x: (x * c_active).sum() / n_act
+            if c_active is None:
+                mmean = lambda x: jnp.mean(x)
+            else:
+                n_act = jnp.maximum(c_active.sum(), 1.0)
+                mmean = lambda x: (x * c_active).sum() / n_act
             logits, newvalue = self.net.apply(p, c_obs, c_states, c_masks)
             newlogprob = dist_log_prob(logits, c_actions)
             entropy = dist_entropy(logits)

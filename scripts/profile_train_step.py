@@ -32,7 +32,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 
-from madrona_rl_envs_playground_tpu.envs import overcooked_base
+from madrona_rl_envs_playground_tpu.envs import overcooked as overcooked1, overcooked2
 from madrona_rl_envs_playground_tpu.train.selfplay import (
     SelfPlayConfig,
     SelfPlayPPO,
@@ -41,17 +41,60 @@ from madrona_rl_envs_playground_tpu.train.selfplay import (
 V5E_PEAK_FLOPS = 197e12  # bf16 systolic-array peak, one v5e chip
 
 
-def timed(fn, *args, repeats=10, warmup=2):
-    """Median wall time of fn(*args) with block_until_ready."""
+def _sync(res):
+    """Device->host VALUE fetch of the smallest output leaf — through the
+    remote tunnel ``block_until_ready`` can return before the executable
+    finishes (see scripts/selfplay_train.py's sync note), so a value fetch
+    is the only trustworthy fence.  TPU executables run in submission
+    order, so one leaf of the last output syncs everything queued."""
+    leaf = min(jax.tree_util.tree_leaves(res),
+               key=lambda l: getattr(l, "size", 1))
+    jax.device_get(leaf)
+
+
+def rpc_baseline(repeats=20):
+    """Per-fetch tunnel round-trip cost, to subtract from per-call-synced
+    timings."""
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.zeros((1,), jnp.float32))
+    jax.device_get(x)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        jax.device_get(x)
+    return (time.perf_counter() - t0) / repeats
+
+
+def timed_chain(fn, state0, repeats=10, warmup=2):
+    """fn: state -> state.  Chains outputs into inputs so only two states
+    are ever alive; ONE value-fetch fence at the end amortizes the RPC."""
+    state = state0
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        state = fn(state)
+    _sync(state)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        state = fn(state)
+    _sync(state)
+    return (time.perf_counter() - t0) / repeats
+
+
+def timed_each(fn, *args, repeats=10, warmup=2, rpc_ms=0.0):
+    """Per-call fence (for fns whose big outputs can't chain — bounding
+    in-flight memory to one output set); subtracts the measured tunnel
+    RPC baseline from each call."""
+    res = None
+    for _ in range(warmup):
+        res = fn(*args)
+        _sync(res)
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
+        res = fn(*args)
+        _sync(res)
+        ts.append(time.perf_counter() - t0 - rpc_ms / 1e3)
     ts.sort()
-    return ts[len(ts) // 2]
+    return max(ts[len(ts) // 2], 1e-9)
 
 
 def cost(compiled):
@@ -71,6 +114,9 @@ def main():
     p.add_argument("--num-envs", type=int, default=8192)
     p.add_argument("--num-steps", type=int, default=128)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--hidden", type=int, default=512)
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--value-loss", default="clipped_mse",
                    choices=["clipped_mse", "smooth_l1"])
     p.add_argument("--rollout-backend", default="auto")
@@ -79,9 +125,9 @@ def main():
     args = p.parse_args()
 
     if args.env == "overcooked":
-        env = overcooked_base.make(args.layout)
+        env = overcooked1.make(args.layout)
     elif args.env == "overcooked2":
-        env = overcooked_base.make(args.layout, variant=2)
+        env = overcooked2.make(args.layout)
     else:
         from madrona_rl_envs_playground_tpu.envs import balance_beam, cartpole, hanabi
         env = {"balance": balance_beam.make, "cartpole": cartpole.make,
@@ -90,6 +136,9 @@ def main():
     cfg = SelfPlayConfig(
         num_steps=args.num_steps,
         use_bf16=args.bf16,
+        hidden=args.hidden,
+        num_layers=args.layers,
+        update_epochs=args.epochs,
         value_loss=args.value_loss,
         rollout_backend=args.rollout_backend,
     )
@@ -110,21 +159,36 @@ def main():
 
     full_c = ppo.train_step.lower(state).compile()
 
+    rpc_ms = rpc_baseline() * 1e3
+
     phases = {}
     phases["rollout"] = {
-        "ms": timed(rollout_j, state, repeats=args.repeats) * 1e3,
+        "ms": timed_each(rollout_j, state, repeats=args.repeats,
+                         rpc_ms=rpc_ms) * 1e3,
         **cost(rollout_c),
     }
     phases["advantage"] = {
-        "ms": timed(adv_j, state["params"], tr, out, repeats=args.repeats) * 1e3,
+        "ms": timed_each(adv_j, state["params"], tr, out,
+                         repeats=args.repeats, rpc_ms=rpc_ms) * 1e3,
         **cost(adv_c),
     }
+    del tr, bstate, out, key  # free the trajectory set before update timing
+
+    # update chains (params, opt_state) -> (params, opt_state): one fence
+    def upd_state(s, ch):
+        params, opt_state, auxes = upd_j(s["params"], s["opt_state"], ch)
+        return {"params": params, "opt_state": opt_state}
+
     phases["update"] = {
-        "ms": timed(upd_j, state["params"], state["opt_state"], chunks,
-                    repeats=args.repeats) * 1e3,
+        "ms": timed_chain(lambda s: upd_state(s, chunks),
+                          {"params": state["params"],
+                           "opt_state": state["opt_state"]},
+                          repeats=args.repeats) * 1e3,
         **cost(upd_c),
     }
-    full_ms = timed(ppo.train_step, state, repeats=args.repeats) * 1e3
+    del chunks  # and the minibatch view before the fused full step
+    full_ms = timed_chain(lambda s: ppo.train_step(s)[0], state,
+                          repeats=args.repeats) * 1e3
     full_cost = cost(full_c)
 
     env_steps = args.num_envs * args.num_steps
@@ -141,6 +205,7 @@ def main():
             "obs_size": int(env.obs_size), "state_size": int(env.state_size),
             "num_agents": int(env.num_agents),
             "hidden": cfg.hidden, "num_layers": cfg.num_layers,
+            "rollout_backend": cfg.rollout_backend,
             "update_epochs": cfg.update_epochs,
             "backend": jax.default_backend(),
         },
@@ -154,6 +219,7 @@ def main():
             "env_steps_per_s": env_steps / (full_ms / 1e3),
         },
         "phase_sum_ms": sum(ph["ms"] for ph in phases.values()),
+        "rpc_baseline_ms": rpc_ms,
     }
 
     print(json.dumps(report, indent=2))
