@@ -66,6 +66,49 @@ class CleanRLNetwork(nn.Module):
         return self.get_logits(obs, action_mask), self.get_value(state)
 
 
+def _tower_t(tp, x, num_layers: int, dtype):
+    """Transposed MLPTower forward over [..., F, B] feature-major input —
+    identical math to ``MLPTower.__call__`` (params cast to the compute
+    dtype, head back to f32), contraction over the feature axis so the
+    batch never leaves the TPU lane axis."""
+    import jax
+
+    h = x.astype(dtype)
+    for i in range(num_layers):
+        k = tp[f"Dense_{i}"]["kernel"].astype(dtype)
+        b = tp[f"Dense_{i}"]["bias"].astype(dtype)
+        h = jax.nn.relu(jnp.einsum("fh,...fb->...hb", k, h) + b[:, None])
+    k = tp[f"Dense_{num_layers}"]["kernel"].astype(dtype)
+    b = tp[f"Dense_{num_layers}"]["bias"].astype(dtype)
+    return (jnp.einsum("fh,...fb->...hb", k, h)
+            + b[:, None]).astype(jnp.float32)
+
+
+def apply_t(params, net: CleanRLNetwork, x: Array,
+            mask_t: Optional[Array] = None) -> Tuple[Array, Array]:
+    """Transposed-layout forward on the SAME params as ``net.apply``:
+    x [..., F, B] -> (masked logits [..., A, B], value [..., B]).
+
+    The r5 training-step traces showed the kernel-major [.., N]-on-lanes
+    observations paying ~320 us/step of relayout copies to reach the
+    row-major [B, F] the flax towers want; contracting the feature axis
+    instead (W^T @ x) consumes them in place."""
+    p = params["params"]
+    dtype = net.dtype or jnp.float32
+    logits = _tower_t(p["actor"], x, net.num_layers, dtype)
+    if mask_t is not None:
+        logits = jnp.where(mask_t, logits, -1e10)
+    value = _tower_t(p["critic"], x, net.num_layers, dtype)[..., 0, :]
+    return logits, value
+
+
+def value_t(params, net: CleanRLNetwork, x: Array) -> Array:
+    """Critic-only transposed forward: x [..., F, B] -> value [..., B]."""
+    p = params["params"]
+    dtype = net.dtype or jnp.float32
+    return _tower_t(p["critic"], x, net.num_layers, dtype)[..., 0, :]
+
+
 def action_and_value(
     params, net: CleanRLNetwork, key, obs, state, action_mask, action=None
 ) -> Tuple[Array, Array, Array, Array]:

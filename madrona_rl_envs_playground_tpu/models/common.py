@@ -63,5 +63,25 @@ def dist_entropy(logits: Array) -> Array:
     return -jnp.sum(p * lp, axis=-1)
 
 
+# ---- transposed (feature-major) layout variants ---------------------------
+# For the lane-resident training path (SelfPlayPPO cols rollout): logits
+# arrive [..., A, B] with the batch B on the TPU lane axis.  Same math as
+# the row forms, reduced over the class axis at -2.
+
+def dist_log_prob_t(logits_t: Array, actions: Array) -> Array:
+    """logits_t [..., A, B], actions [..., B] int -> log-prob [..., B]."""
+    lp = jax.nn.log_softmax(logits_t, axis=-2)
+    A = logits_t.shape[-2]
+    onehot = (actions[..., None, :].astype(jnp.int32)
+              == jnp.arange(A, dtype=jnp.int32)[:, None])
+    return jnp.where(onehot, lp, 0.0).sum(axis=-2)
+
+
+def dist_entropy_t(logits_t: Array) -> Array:
+    lp = jax.nn.log_softmax(logits_t, axis=-2)
+    p = jnp.exp(lp)
+    return -jnp.sum(p * lp, axis=-2)
+
+
 def dist_sample(key, logits: Array) -> Array:
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

@@ -158,6 +158,20 @@ def to_env_major(env: OvercookedEnv, obs_t: Array) -> Array:
     return o.reshape(N, P, W * H * C)
 
 
+def to_cols(env: OvercookedEnv, obs_t: Array) -> Array:
+    """[P, C, S, N] -> feature-major columns [W*H*C, P*N]: feature order is
+    the env-major flat order ((x, y, c)), column b = p*N + n.  The batch
+    axis N never leaves the TPU lane dimension — only sublane-axis
+    reshuffles, no lane transposes (the r5 traces measured the
+    kernel->row-major relayout at ~320 us/step at 8k envs; this form
+    feeds the transposed policy towers, ``models/cleanrl.apply_t``)."""
+    P, C = env.num_players, env.num_channels
+    H, W = env.height, env.width
+    N = obs_t.shape[-1]
+    o = obs_t.reshape(P, C, H, W, N).transpose(3, 2, 1, 0, 4)  # [W,H,C,P,N]
+    return o.reshape(W * H * C, P * N)
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------

@@ -44,6 +44,13 @@ class FusedCollect:
     pack: Callable[[BatchState], Any]
     step: Callable[[Any, Array], Tuple[Any, StepOutput]]
     unpack: Callable[[Any], BatchState]
+    # Optional lane-resident step for always-active state==obs envs:
+    # step_cols(carry, actions [P, N] int32) -> (carry',
+    # obs_cols [F, P*N], reward [P*N] f32, done [N]).  obs_cols keeps the
+    # batch on the TPU lane axis in the feature order the transposed policy
+    # towers (models/cleanrl.apply_t) consume — SelfPlayPPO's cols rollout
+    # carries it end-to-end with zero lane transposes per step.
+    step_cols: Any = None
 
 
 def make_fused_collect(env, num_envs: int, *, block: int = 1024,
@@ -154,7 +161,17 @@ def _overcooked_collect(env, num_envs, block, interpret, mesh=None):
         return BatchState(env_states=ok.unpack_state(env, ts),
                           episode_counter=counter)
 
-    return FusedCollect(pack=pack, step=step, unpack=unpack)
+    step_cols = None
+    if mesh is None:
+        def step_cols(carry, actions_pn: Array):
+            ts, counter = carry
+            ts2, obs_k, rew, done = kernel_step(ts, actions_pn)
+            counter = counter + jnp.sum(done).astype(counter.dtype)
+            return ((ts2, counter), ok.to_cols(env, obs_k),
+                    rew.astype(jnp.float32).reshape(-1), done)
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack,
+                        step_cols=step_cols)
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,13 @@ import optax
 
 from ..core.batch import batched_reset, batched_step
 from ..models.cleanrl import CleanRLNetwork
-from ..models.common import dist_entropy, dist_log_prob, dist_sample
+from ..models.common import (
+    dist_entropy,
+    dist_entropy_t,
+    dist_log_prob,
+    dist_log_prob_t,
+    dist_sample,
+)
 from .cleanrl_ppo import Rollout, active_masked_gae, plain_gae
 
 Array = jnp.ndarray
@@ -185,6 +191,14 @@ class SelfPlayPPO:
         # first-layer matmul reads, while storing wide costs a materialized
         # cast copy per rollout step AND doubles the epoch read traffic.
         self._store_dtype = None
+        # Lane-resident (feature-major) training path: the env kernel, the
+        # policy towers, the trajectory buffers, and the PPO epochs all keep
+        # the batch on the TPU lane axis (obs [F, B] columns, apply_t).
+        self._cols = (self._fused is not None
+                      and getattr(self._fused, "step_cols", None) is not None
+                      and self._alias and not self._masked
+                      # the cols buffers chunk on the T axis only
+                      and cfg.num_steps % cfg.num_minibatches == 0)
         # No donation: StepOutput.obs/state_obs may alias one buffer (envs
         # where state==obs), and donating an aliased pytree is an error.
         self.train_step = jax.jit(self._train_step)
@@ -217,6 +231,8 @@ class SelfPlayPPO:
         P = env.num_agents
 
         fused = self._fused
+        if self._cols:
+            return self._rollout_cols(state, fused)
         if fused is not None:
             env_step = fused.step
             carry0 = fused.pack(state["bstate"])
@@ -265,6 +281,71 @@ class SelfPlayPPO:
         bstate = fused.unpack(ecarry) if fused is not None else ecarry
         return bstate, out, key, tr
 
+    def _rollout_cols(self, state, fused):
+        """Lane-resident rollout for always-active state==obs envs with a
+        ``step_cols`` kernel: obs flows kernel -> [F, B] feature-major
+        columns -> transposed policy towers (``models/cleanrl.apply_t``)
+        AND the trajectory store, with the batch on the TPU lane axis the
+        whole way.  The generic body's env-major [N, P, F] carry cost a
+        ~320 us/step relayout chain at 8k envs (r5 traces).
+
+        Column order is b = p*N + n; actions are SAMPLED in the generic
+        path's row orientation (one tiny [A, B] transpose) so each (env,
+        seat) stream draws the identical gumbel noise — trajectories match
+        the generic body per stream, buffers differ only by stream order
+        (all downstream reductions are order-invariant)."""
+        from ..core.types import StepOutput
+        from ..models.cleanrl import apply_t
+
+        cfg = self.cfg
+        env = self.env
+        N = self.num_envs
+        P = env.num_agents
+        M = N * P
+        A = env.num_actions
+
+        carry0 = fused.pack(state["bstate"])
+        # [N, P, F] -> [F, B(p-major)] once per train_step
+        obs0 = state["out"].obs.transpose(2, 1, 0).reshape(-1, M)
+
+        def body(carry, _):
+            ecarry, obs_cols, key = carry
+            key, ak = jax.random.split(key)
+            logits_t, value = apply_t(state["params"], self.net, obs_cols)
+            logits_rows = (logits_t.reshape(A, P, N)
+                           .transpose(2, 1, 0).reshape(M, A))
+            action_m = dist_sample(ak, logits_rows)          # [M] n-major
+            action_pn = action_m.reshape(N, P).transpose()   # [P, N]
+            action_b = action_pn.reshape(M)                  # p-major
+            logp = dist_log_prob_t(logits_t, action_b)
+            ecarry2, obs_cols2, rew_b, done = fused.step_cols(
+                ecarry, action_pn.astype(jnp.int32))
+            ys = {
+                "obs_cols": obs_cols,
+                "action": action_b,
+                "logp": logp,
+                "value": value,
+                "reward": rew_b,
+                "done": jnp.broadcast_to(done[None], (P, N)).reshape(M),
+            }
+            return (ecarry2, obs_cols2, key), ys
+
+        (ecarry, obs_last, key), tr = jax.lax.scan(
+            body, (carry0, obs0, state["key"]), None, length=cfg.num_steps)
+        bstate = fused.unpack(ecarry)
+
+        obs_nm = obs_last.reshape(-1, P, N).transpose(2, 1, 0)
+        out = StepOutput(
+            obs=obs_nm,
+            state_obs=obs_nm,
+            action_mask=jnp.ones((N, P, A), jnp.bool_),
+            active=jnp.ones((N, P), jnp.bool_),
+            reward=tr["reward"][-1].reshape(P, N)
+            .transpose().astype(env.reward_dtype),
+            done=tr["done"][-1].reshape(P, N)[0],
+        )
+        return bstate, out, key, tr
+
     def _advantage(self, params, tr, out):
         """Phase 2: credit routing + bootstrap + GAE + advantage norm +
         minibatch chunking.  Returns (chunks, stats) where stats carries the
@@ -288,13 +369,14 @@ class SelfPlayPPO:
                 [jnp.zeros((1, M), tr["done"].dtype), tr["done"][:-1]], axis=0
             )
 
-        # Rollout buffers keep the storage dtype chosen in __init__ (compute
-        # dtype when affordable — kills the per-epoch cast that the r5 trace
-        # measured as the largest single update op; env-native int8 at
-        # batch sizes where the wide buffer would blow HBM).
+        # Rollout buffers stay in the env's native obs dtype.  In the cols
+        # path obs is [T, F, B] feature-major (batch on lanes) and states
+        # is None — the towers read obs for both actor and critic.
+        cols = "obs_cols" in tr
         buf = Rollout(
-            obs=tr["obs"],
-            states=tr["obs"] if self._alias else tr["state_obs"],
+            obs=tr["obs_cols"] if cols else tr["obs"],
+            states=(None if cols
+                    else (tr["obs"] if self._alias else tr["state_obs"])),
             actions=tr["action"],
             action_masks=tr.get("mask"),
             logprobs=tr["logp"],
@@ -305,11 +387,18 @@ class SelfPlayPPO:
         )
 
         # Bootstrap values from the post-rollout observation.
-        final_state_obs = out.state_obs.reshape(M, -1)
-        next_value = self.net.apply(
-            params, final_state_obs, method=CleanRLNetwork.get_value
-        )
-        next_done = jnp.repeat(out.done[:, None], P, axis=1).reshape(M)
+        if cols:
+            from ..models.cleanrl import value_t
+
+            sobs_cols = out.state_obs.transpose(2, 1, 0).reshape(-1, M)
+            next_value = value_t(params, self.net, sobs_cols)
+            next_done = jnp.broadcast_to(out.done[None], (P, N)).reshape(M)
+        else:
+            final_state_obs = out.state_obs.reshape(M, -1)
+            next_value = self.net.apply(
+                params, final_state_obs, method=CleanRLNetwork.get_value
+            )
+            next_done = jnp.repeat(out.done[:, None], P, axis=1).reshape(M)
 
         if self._masked:
             final_active = out.active.reshape(M)
@@ -392,9 +481,18 @@ class SelfPlayPPO:
             else:
                 n_act = jnp.maximum(c_active.sum(), 1.0)
                 mmean = lambda x: (x * c_active).sum() / n_act
-            logits, newvalue = self.net.apply(p, c_obs, c_states, c_masks)
-            newlogprob = dist_log_prob(logits, c_actions)
-            entropy = dist_entropy(logits)
+            if self._cols:
+                from ..models.cleanrl import apply_t
+
+                # c_obs [Tc, F, B] feature-major; towers contract F, the
+                # batch stays on lanes through the whole epoch
+                logits_t, newvalue = apply_t(p, self.net, c_obs)
+                newlogprob = dist_log_prob_t(logits_t, c_actions)
+                entropy = dist_entropy_t(logits_t)
+            else:
+                logits, newvalue = self.net.apply(p, c_obs, c_states, c_masks)
+                newlogprob = dist_log_prob(logits, c_actions)
+                entropy = dist_entropy(logits)
             logratio = newlogprob - c_logprobs
             ratio = jnp.exp(logratio)
             pg = mmean(
