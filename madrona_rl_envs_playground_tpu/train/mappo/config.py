@@ -48,6 +48,17 @@ class MAPPOConfig:
     ppo_epoch: int = 15
     clip_param: float = 0.2
     num_mini_batch: int = 1
+    # Mesh-friendly minibatching for num_mini_batch>1 (feed-forward):
+    # instead of the reference's random FLAT permutation over T*M (which
+    # merges the sharded env axis and all-gathers the whole buffer to every
+    # device each epoch — ~1.2 GB/update at Colab scale,
+    # docs/multihost_projection.md), draw minibatches as randomly-permuted
+    # TIMESTEP bands: each minibatch is [T/nmb, M, ...] with the env axis
+    # intact, so GSPMD keeps the buffers sharded and the only collectives
+    # are the gradient all-reduces.  Default OFF to preserve the
+    # reference's exact sampling semantics; requires episode_length %
+    # num_mini_batch == 0.
+    shard_local_minibatch: bool = False
     entropy_coef: float = 0.01
     value_loss_coef: float = 1.0
     use_max_grad_norm: bool = True

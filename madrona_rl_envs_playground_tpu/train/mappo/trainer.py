@@ -177,10 +177,16 @@ class RMAPPOTrainer:
         advantages = (adv_raw - mean_adv) / (jnp.sqrt(var_adv) + 1e-5)
 
         B = T * M
-        # num_mini_batch=1: keep [T, M, ...] — flattening would merge the
-        # sharded env axis into T*M, which GSPMD cannot express and would
-        # all-gather the buffers on a mesh (see the nmb==1 branch below)
-        flat = ((lambda x: x) if cfg.num_mini_batch == 1
+        # num_mini_batch=1 (and the shard_local_minibatch option): keep
+        # [T, M, ...] — flattening would merge the sharded env axis into
+        # T*M, which GSPMD cannot express and would all-gather the buffers
+        # on a mesh (see the nmb==1 branch below)
+        local = cfg.shard_local_minibatch and cfg.num_mini_batch > 1
+        if local and T % cfg.num_mini_batch:
+            raise ValueError(
+                f"shard_local_minibatch needs episode_length "
+                f"({T}) % num_mini_batch ({cfg.num_mini_batch}) == 0")
+        flat = ((lambda x: x) if cfg.num_mini_batch == 1 or local
                 else (lambda x: x.reshape((B,) + x.shape[2:])))
         data = (
             flat(buf.share_obs[:-1]),
@@ -214,7 +220,6 @@ class RMAPPOTrainer:
                     pstate, vn, data, lrs, sequence=False
                 )
                 return (pstate, vn), metrics
-            perm = jax.random.permutation(ekey, B)
 
             def mb_body(carry2, idx):
                 pstate, vn = carry2
@@ -224,7 +229,15 @@ class RMAPPOTrainer:
                 )
                 return (pstate, vn), metrics
 
-            idxs = perm[: nmb * mb_size].reshape(nmb, mb_size)
+            if local:
+                # mesh-friendly variant: minibatches are randomly-permuted
+                # TIMESTEP bands [T/nmb, M, ...]; indexing touches only the
+                # replicated T axis, so the sharded env axis never gathers
+                perm = jax.random.permutation(ekey, T)
+                idxs = perm.reshape(nmb, T // nmb)
+            else:
+                perm = jax.random.permutation(ekey, B)
+                idxs = perm[: nmb * mb_size].reshape(nmb, mb_size)
             (pstate, vn), metrics = jax.lax.scan(mb_body, (pstate, vn), idxs)
             return (pstate, vn), jax.tree_util.tree_map(jnp.mean, metrics)
 

@@ -219,3 +219,65 @@ def test_persistent_rollout_sharded_bitexact():
                                                    np.asarray(b)),
         (ts_a, w_a, dcnt_a, chk_a), (ts_b, w_b, dcnt_b, chk_b),
     )
+
+
+@need8
+def test_mappo_shard_local_minibatch_no_allgather():
+    """num_mini_batch>1 default all-gathers the whole buffer each epoch
+    (documented cliff, docs/multihost_projection.md); the flag-gated
+    shard_local_minibatch (timestep-band permutation) must compile with
+    ZERO all-gathers — only the gradient all-reduces."""
+    import re
+
+    from madrona_rl_envs_playground_tpu.train.mappo import (
+        MAPPOConfig, MAPPORunner)
+
+    env = balance_beam.Env()
+    mesh = make_mesh(8)
+
+    def compiled_allgather_count(local_flag):
+        cfg = MAPPOConfig(
+            episode_length=8, n_rollout_threads=N, hidden_size=32,
+            layer_N=1, ppo_epoch=2, num_mini_batch=4, seed=5,
+            shard_local_minibatch=local_flag,
+        )
+        runner = MAPPORunner(cfg, env, mesh=mesh)
+        ck, tk = jax.random.split(jax.random.PRNGKey(0))
+        (bstate, out, rnn, rnnc, masks, _, tr) = runner._collect(
+            runner.trainer.state.policy, runner.bstate, runner.out,
+            runner._rnn, runner._rnnc, runner._masks, ck)
+        buf = runner._tr_to_buffer(tr, masks, out.active.astype(jnp.float32))
+        buf = runner._compute(runner.trainer.state, buf, out, rnnc, masks)
+        txt = runner.trainer.train.lower(
+            runner.trainer.state, buf, tk,
+            (jnp.float32(1e-3), jnp.float32(1e-3))).compile().as_text()
+        return len(re.findall(r" all-gather(?:-start)?\(", txt)), runner, buf, tk
+
+    n_local, runner, buf, tk = compiled_allgather_count(True)
+    assert n_local == 0, f"shard-local path compiled {n_local} all-gathers"
+    # and it actually trains: one update with finite metrics
+    runner.trainer.state, info = runner.trainer.train(
+        runner.trainer.state, buf, tk, (jnp.float32(1e-3), jnp.float32(1e-3)))
+    assert all(np.isfinite(float(v)) for v in info.values())
+
+    n_default, *_ = compiled_allgather_count(False)
+    assert n_default > 0, (
+        "expected the reference flat-permutation path to all-gather on the "
+        "mesh — if this stopped happening, update the docs and retire the "
+        "flag")
+
+
+def test_mappo_shard_local_minibatch_learns():
+    """Single-device learning smoke for the flag (semantics deviation is
+    sampling-order only): balance reward improves over a few episodes."""
+    from madrona_rl_envs_playground_tpu.train.mappo import (
+        MAPPOConfig, MAPPORunner)
+
+    cfg = MAPPOConfig(
+        episode_length=8, n_rollout_threads=16, hidden_size=32, layer_N=1,
+        ppo_epoch=3, num_mini_batch=4, lr=5e-3, critic_lr=5e-3, seed=2,
+        shard_local_minibatch=True,
+    )
+    runner = MAPPORunner(cfg, balance_beam.Env())
+    info = runner.run(episodes=3)
+    assert np.isfinite(float(info["value_loss"]))
