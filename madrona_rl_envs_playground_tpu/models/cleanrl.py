@@ -85,9 +85,12 @@ def _tower_t(tp, x, num_layers: int, dtype):
 
 
 def apply_t(params, net: CleanRLNetwork, x: Array,
-            mask_t: Optional[Array] = None) -> Tuple[Array, Array]:
+            mask_t: Optional[Array] = None,
+            x_critic: Optional[Array] = None) -> Tuple[Array, Array]:
     """Transposed-layout forward on the SAME params as ``net.apply``:
     x [..., F, B] -> (masked logits [..., A, B], value [..., B]).
+    ``x_critic`` feeds the critic tower when the centralized state differs
+    from the actor obs (hanabi); defaults to ``x``.
 
     The r5 training-step traces showed the kernel-major [.., N]-on-lanes
     observations paying ~320 us/step of relayout copies to reach the
@@ -98,7 +101,8 @@ def apply_t(params, net: CleanRLNetwork, x: Array,
     logits = _tower_t(p["actor"], x, net.num_layers, dtype)
     if mask_t is not None:
         logits = jnp.where(mask_t, logits, -1e10)
-    value = _tower_t(p["critic"], x, net.num_layers, dtype)[..., 0, :]
+    xc = x if x_critic is None else x_critic
+    value = _tower_t(p["critic"], xc, net.num_layers, dtype)[..., 0, :]
     return logits, value
 
 

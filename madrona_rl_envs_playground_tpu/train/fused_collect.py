@@ -44,12 +44,16 @@ class FusedCollect:
     pack: Callable[[BatchState], Any]
     step: Callable[[Any, Array], Tuple[Any, StepOutput]]
     unpack: Callable[[Any], BatchState]
-    # Optional lane-resident step for always-active state==obs envs:
-    # step_cols(carry, actions [P, N] int32) -> (carry',
-    # obs_cols [F, P*N], reward [P*N] f32, done [N]).  obs_cols keeps the
-    # batch on the TPU lane axis in the feature order the transposed policy
-    # towers (models/cleanrl.apply_t) consume — SelfPlayPPO's cols rollout
-    # carries it end-to-end with zero lane transposes per step.
+    # Optional lane-resident step: step_cols(carry, actions [P, N] int32)
+    # -> (carry', cols) where cols is a dict with the batch on the TPU lane
+    # axis (column b = p*N + n) in the feature order the transposed policy
+    # towers (models/cleanrl.apply_t) consume:
+    #   obs    [F, P*N]   always
+    #   state  [F', P*N]  only when state_obs differs from obs (hanabi)
+    #   mask   [A, P*N] bool / active [P*N] bool  only for masked envs
+    #   reward [P*N] f32, done [N] bool            always
+    # SelfPlayPPO's cols rollout carries these end-to-end with zero lane
+    # transposes per step.
     step_cols: Any = None
 
 
@@ -167,8 +171,12 @@ def _overcooked_collect(env, num_envs, block, interpret, mesh=None):
             ts, counter = carry
             ts2, obs_k, rew, done = kernel_step(ts, actions_pn)
             counter = counter + jnp.sum(done).astype(counter.dtype)
-            return ((ts2, counter), ok.to_cols(env, obs_k),
-                    rew.astype(jnp.float32).reshape(-1), done)
+            cols = dict(
+                obs=ok.to_cols(env, obs_k),
+                reward=rew.astype(jnp.float32).reshape(-1),
+                done=done,
+            )
+            return (ts2, counter), cols
 
     return FusedCollect(pack=pack, step=step, unpack=unpack,
                         step_cols=step_cols)
@@ -329,4 +337,30 @@ def _hanabi_collect(env, num_envs, block, interpret):
         return BatchState(env_states=hk.unpack_state(env, d),
                           episode_counter=counter.astype(jnp.uint32))
 
-    return FusedCollect(pack=pack, step=step, unpack=unpack)
+    def step_cols(carry, actions_pn: Array):
+        """Lane-resident hanabi step: obs/state/mask leave the kernel's
+        [P, bits, N] layout via a (P, bits) axis swap only — the env batch
+        never crosses the lane axis."""
+        d, counter = carry
+        d2, rew, done, counter2 = hk.fused_step(
+            env, d, counter, actions_pn.astype(jnp.int32),
+            block=block, interpret=interpret,
+        )
+        N = d2["scal"].shape[-1]
+        tocols = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(
+            a.shape[1], P * N)                                # [bits, P*N]
+        obs_c = tocols(d2["obs"])
+        cols = dict(
+            obs=obs_c,
+            state=jnp.concatenate([obs_c, tocols(d2["own"])], axis=0),
+            mask=tocols(d2["mask"]) != 0,
+            active=(d2["scal"][hk._CUR][None, :]
+                    == jnp.arange(P)[:, None]).reshape(P * N),
+            reward=jnp.broadcast_to(
+                rew[None, :].astype(jnp.float32), (P, N)).reshape(P * N),
+            done=done,
+        )
+        return (d2, counter2), cols
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack,
+                        step_cols=step_cols)

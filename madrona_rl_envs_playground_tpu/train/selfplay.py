@@ -196,7 +196,6 @@ class SelfPlayPPO:
         # the batch on the TPU lane axis (obs [F, B] columns, apply_t).
         self._cols = (self._fused is not None
                       and getattr(self._fused, "step_cols", None) is not None
-                      and self._alias and not self._masked
                       # the cols buffers chunk on the T axis only
                       and cfg.num_steps % cfg.num_minibatches == 0)
         # No donation: StepOutput.obs/state_obs may alias one buffer (envs
@@ -282,12 +281,13 @@ class SelfPlayPPO:
         return bstate, out, key, tr
 
     def _rollout_cols(self, state, fused):
-        """Lane-resident rollout for always-active state==obs envs with a
-        ``step_cols`` kernel: obs flows kernel -> [F, B] feature-major
-        columns -> transposed policy towers (``models/cleanrl.apply_t``)
-        AND the trajectory store, with the batch on the TPU lane axis the
-        whole way.  The generic body's env-major [N, P, F] carry cost a
-        ~320 us/step relayout chain at 8k envs (r5 traces).
+        """Lane-resident rollout over a ``step_cols`` kernel: obs (and for
+        masked envs the centralized state, action mask and active flags)
+        flow kernel -> [F, B] feature-major columns -> transposed policy
+        towers (``models/cleanrl.apply_t``) AND the trajectory store, with
+        the batch on the TPU lane axis the whole way.  The generic body's
+        env-major [N, P, F] carry cost a ~320 us/step relayout chain at 8k
+        envs (r5 traces).
 
         Column order is b = p*N + n; actions are SAMPLED in the generic
         path's row orientation (one tiny [A, B] transpose) so each (env,
@@ -303,43 +303,64 @@ class SelfPlayPPO:
         P = env.num_agents
         M = N * P
         A = env.num_actions
+        masked = self._masked
+        aliased = self._alias
 
         carry0 = fused.pack(state["bstate"])
-        # [N, P, F] -> [F, B(p-major)] once per train_step
-        obs0 = state["out"].obs.transpose(2, 1, 0).reshape(-1, M)
+        # initial cols from the env-major StepOutput, once per train_step
+        out0 = state["out"]
+        fcols = lambda a: a.transpose(2, 1, 0).reshape(a.shape[-1], M)
+        cols0 = {"obs": fcols(out0.obs)}
+        if not aliased:
+            cols0["state"] = fcols(out0.state_obs)
+        if masked:
+            cols0["mask"] = fcols(out0.action_mask)
+            cols0["active"] = out0.active.transpose().reshape(M)
 
         def body(carry, _):
-            ecarry, obs_cols, key = carry
+            ecarry, cols, key = carry
             key, ak = jax.random.split(key)
-            logits_t, value = apply_t(state["params"], self.net, obs_cols)
+            logits_t, value = apply_t(
+                state["params"], self.net, cols["obs"],
+                mask_t=cols.get("mask"), x_critic=cols.get("state"))
             logits_rows = (logits_t.reshape(A, P, N)
                            .transpose(2, 1, 0).reshape(M, A))
             action_m = dist_sample(ak, logits_rows)          # [M] n-major
             action_pn = action_m.reshape(N, P).transpose()   # [P, N]
             action_b = action_pn.reshape(M)                  # p-major
             logp = dist_log_prob_t(logits_t, action_b)
-            ecarry2, obs_cols2, rew_b, done = fused.step_cols(
+            ecarry2, cols2 = fused.step_cols(
                 ecarry, action_pn.astype(jnp.int32))
             ys = {
-                "obs_cols": obs_cols,
+                "obs_cols": cols["obs"],
                 "action": action_b,
                 "logp": logp,
                 "value": value,
-                "reward": rew_b,
-                "done": jnp.broadcast_to(done[None], (P, N)).reshape(M),
+                "reward": cols2["reward"],
+                "done": jnp.broadcast_to(cols2["done"][None],
+                                         (P, N)).reshape(M),
             }
-            return (ecarry2, obs_cols2, key), ys
+            if not aliased:
+                ys["state_cols"] = cols["state"]
+            if masked:
+                ys["mask_cols"] = cols["mask"]
+                ys["active"] = cols["active"]
+            carry_cols = {k: cols2[k] for k in cols0}
+            return (ecarry2, carry_cols, key), ys
 
-        (ecarry, obs_last, key), tr = jax.lax.scan(
-            body, (carry0, obs0, state["key"]), None, length=cfg.num_steps)
+        (ecarry, cols_last, key), tr = jax.lax.scan(
+            body, (carry0, cols0, state["key"]), None, length=cfg.num_steps)
         bstate = fused.unpack(ecarry)
 
-        obs_nm = obs_last.reshape(-1, P, N).transpose(2, 1, 0)
+        tonm = lambda a: a.reshape(a.shape[0], P, N).transpose(2, 1, 0)
+        obs_nm = tonm(cols_last["obs"])
         out = StepOutput(
             obs=obs_nm,
-            state_obs=obs_nm,
-            action_mask=jnp.ones((N, P, A), jnp.bool_),
-            active=jnp.ones((N, P), jnp.bool_),
+            state_obs=(obs_nm if aliased else tonm(cols_last["state"])),
+            action_mask=(tonm(cols_last["mask"]) if masked
+                         else jnp.ones((N, P, A), jnp.bool_)),
+            active=(cols_last["active"].reshape(P, N).transpose() if masked
+                    else jnp.ones((N, P), jnp.bool_)),
             reward=tr["reward"][-1].reshape(P, N)
             .transpose().astype(env.reward_dtype),
             done=tr["done"][-1].reshape(P, N)[0],
@@ -375,10 +396,10 @@ class SelfPlayPPO:
         cols = "obs_cols" in tr
         buf = Rollout(
             obs=tr["obs_cols"] if cols else tr["obs"],
-            states=(None if cols
+            states=(tr.get("state_cols") if cols
                     else (tr["obs"] if self._alias else tr["state_obs"])),
             actions=tr["action"],
-            action_masks=tr.get("mask"),
+            action_masks=tr.get("mask_cols") if cols else tr.get("mask"),
             logprobs=tr["logp"],
             rewards=credited,
             dones=slot_dones,
@@ -401,7 +422,9 @@ class SelfPlayPPO:
             next_done = jnp.repeat(out.done[:, None], P, axis=1).reshape(M)
 
         if self._masked:
-            final_active = out.active.reshape(M)
+            # stream order is p-major in the cols path, n-major otherwise
+            final_active = (out.active.transpose().reshape(M) if cols
+                            else out.active.reshape(M))
             advantages, returns, active = active_masked_gae(
                 buf, next_value, next_done, final_active,
                 cfg.gamma, cfg.gae_lambda
@@ -486,7 +509,9 @@ class SelfPlayPPO:
 
                 # c_obs [Tc, F, B] feature-major; towers contract F, the
                 # batch stays on lanes through the whole epoch
-                logits_t, newvalue = apply_t(p, self.net, c_obs)
+                logits_t, newvalue = apply_t(p, self.net, c_obs,
+                                             mask_t=c_masks,
+                                             x_critic=c_states)
                 newlogprob = dist_log_prob_t(logits_t, c_actions)
                 entropy = dist_entropy_t(logits_t)
             else:
