@@ -216,7 +216,19 @@ def _acrobot_collect(env, num_envs, block, interpret):
         return BatchState(env_states=ap.unpack_state(grid, steps, rng_i),
                           episode_counter=counter.astype(jnp.uint32))
 
-    return FusedCollect(pack=pack, step=step, unpack=unpack)
+    def step_cols(carry, actions_pn: Array):
+        # P=1: the kernel's [4, N] grid IS the cols layout
+        grid, steps, rng_i, counter = carry
+        grid, steps, rng_i, done, counter = ap.fused_step(
+            grid, steps, rng_i, counter, actions_pn.astype(jnp.int32),
+            block=block, interpret=interpret,
+        )
+        cols = dict(obs=grid, reward=jnp.full((num_envs,), -1.0, jnp.float32),
+                    done=done)
+        return (grid, steps, rng_i, counter), cols
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack,
+                        step_cols=step_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +264,19 @@ def _cartpole_collect(env, num_envs, block, interpret):
         return BatchState(env_states=cp.unpack_state(grid, rng_i),
                           episode_counter=counter.astype(jnp.uint32))
 
-    return FusedCollect(pack=pack, step=step, unpack=unpack)
+    def step_cols(carry, actions_pn: Array):
+        # P=1: the kernel's [4, N] grid IS the cols layout
+        grid, rng_i, counter = carry
+        grid, rng_i, done, counter = cp.fused_step(
+            grid, rng_i, counter, actions_pn.astype(jnp.int32),
+            block=block, interpret=interpret,
+        )
+        cols = dict(obs=grid, reward=jnp.ones((num_envs,), jnp.float32),
+                    done=done)
+        return (grid, rng_i, counter), cols
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack,
+                        step_cols=step_cols)
 
 
 def _balance_collect(env, num_envs, block, interpret):
@@ -287,7 +311,27 @@ def _balance_collect(env, num_envs, block, interpret):
         return BatchState(env_states=bp.unpack_state(loc, obs, time, rng_i),
                           episode_counter=counter.astype(jnp.uint32))
 
-    return FusedCollect(pack=pack, step=step, unpack=unpack)
+    def step_cols(carry, actions_pn: Array):
+        # kernel obs rows are (p, f)-major [2F, N]: a (p, f) axis swap
+        # gives [F, 2N] columns with b = p*N + n; lanes untouched
+        loc, obs, time, rng_i, counter = carry
+        loc, obs, time, rng_i, rew, done, counter = bp.fused_step(
+            loc, obs, time, rng_i, counter, actions_pn.astype(jnp.int32),
+            block=block, interpret=interpret,
+        )
+        F = obs.shape[0] // 2
+        cols = dict(
+            obs=obs.reshape(2, F, num_envs).transpose(1, 0, 2)
+            .reshape(F, 2 * num_envs),
+            reward=jnp.broadcast_to(
+                rew[None, :].astype(jnp.float32),
+                (2, num_envs)).reshape(2 * num_envs),
+            done=done,
+        )
+        return (loc, obs, time, rng_i, counter), cols
+
+    return FusedCollect(pack=pack, step=step, unpack=unpack,
+                        step_cols=step_cols)
 
 
 # ---------------------------------------------------------------------------
