@@ -137,3 +137,57 @@ def test_mappo_pallas_collect_matches_jnp():
         r_j.trainer.state.policy.actor_params,
         r_p.trainer.state.policy.actor_params,
     )
+
+
+@pytest.mark.parametrize("kind", ["overcooked", "balance", "hanabi"])
+def test_cols_rollout_trajectory_matches_generic(kind):
+    """Direct trajectory-level equivalence of the lane-resident cols
+    rollout (r5): per-(env, seat) streams must carry IDENTICAL actions and
+    stored values as the generic env-major body — the cols path only
+    permutes stream order (p-major vs n-major) and feature-major obs
+    layout.  Stricter than the metrics/params test above: any sampling or
+    credit misalignment shows up here immediately."""
+    if kind == "overcooked":
+        env = overcooked.make("cramped_room", horizon=10)
+    elif kind == "balance":
+        env = balance_beam.Env()
+    else:
+        env = hanabi.Env(**hanabi.CONFIGS["very_small"])
+    P = env.num_agents
+    cfg = dict(num_steps=10, hidden=32, num_layers=2, update_epochs=1)
+
+    tr_p = SelfPlayPPO(env, N, SelfPlayConfig(rollout_backend="pallas",
+                                              **cfg), seed=9)
+    tr_j = SelfPlayPPO(env, N, SelfPlayConfig(rollout_backend="jnp",
+                                              **cfg), seed=9)
+    assert tr_p._cols and not tr_j._cols
+
+    bs_p, out_p, _, t_p = jax.jit(tr_p._rollout)(tr_p.state)
+    bs_j, out_j, _, t_j = jax.jit(tr_j._rollout)(tr_j.state)
+
+    # reorder cols streams (b = p*N + n) to the generic order (m = n*P + p)
+    def to_rows_order(x):  # [T, B] -> [T, M]
+        return np.asarray(x).reshape(x.shape[0], P, N).transpose(0, 2, 1) \
+            .reshape(x.shape[0], N * P)
+
+    np.testing.assert_array_equal(to_rows_order(t_p["action"]),
+                                  np.asarray(t_j["action"]))
+    np.testing.assert_array_equal(to_rows_order(t_p["done"]),
+                                  np.asarray(t_j["done"]))
+    np.testing.assert_allclose(to_rows_order(t_p["reward"]),
+                               np.asarray(t_j["reward"]), atol=0)
+    np.testing.assert_allclose(to_rows_order(t_p["logp"]),
+                               np.asarray(t_j["logp"]), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(to_rows_order(t_p["value"]),
+                               np.asarray(t_j["value"]), rtol=2e-5, atol=1e-6)
+    # obs: cols [T, F, B] vs generic [T, M, F]
+    T = t_j["obs"].shape[0]
+    obs_p = np.asarray(t_p["obs_cols"]).transpose(0, 2, 1) \
+        .reshape(T, P, N, -1).transpose(0, 2, 1, 3).reshape(T, N * P, -1)
+    np.testing.assert_array_equal(obs_p, np.asarray(t_j["obs"]))
+    # post-rollout StepOutput agrees field-for-field
+    np.testing.assert_array_equal(np.asarray(out_p.obs), np.asarray(out_j.obs))
+    np.testing.assert_array_equal(np.asarray(out_p.done),
+                                  np.asarray(out_j.done))
+    np.testing.assert_array_equal(np.asarray(out_p.active),
+                                  np.asarray(out_j.active))
