@@ -59,6 +59,7 @@ def run(num_envs, players, updates, cfg, seed=0, mesh=None, log_every=10):
         "num_envs": num_envs,
         "num_steps": cfg.num_steps,
         "updates": updates,
+        "seed": seed,
         "backend": jax.default_backend(),
         "env_steps_per_s": steps / dt,
         "wall_s": dt,
@@ -105,6 +106,7 @@ def main():
     p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--layers", type=int, default=2)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh-check", action="store_true")
     p.add_argument("--out", default="docs/runs/many_player_training.json")
     args = p.parse_args()
@@ -119,7 +121,8 @@ def main():
         mesh_check(args.players, tiny)
         return
 
-    report = run(args.num_envs, args.players, args.updates, cfg)
+    report = run(args.num_envs, args.players, args.updates, cfg,
+                 seed=args.seed)
     print(json.dumps({k: v for k, v in report.items() if k != "curve"},
                      indent=2))
     first, last = report["curve"][0], report["curve"][-1]
