@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .common import (
+    _MASK_NEG,
     Array,
     dense,
     dist_entropy,
@@ -100,7 +101,7 @@ def apply_t(params, net: CleanRLNetwork, x: Array,
     dtype = net.dtype or jnp.float32
     logits = _tower_t(p["actor"], x, net.num_layers, dtype)
     if mask_t is not None:
-        logits = jnp.where(mask_t, logits, -1e10)
+        logits = jnp.where(mask_t, logits, _MASK_NEG)
     xc = x if x_critic is None else x_critic
     value = _tower_t(p["critic"], xc, net.num_layers, dtype)[..., 0, :]
     return logits, value

@@ -129,3 +129,71 @@ def test_ppo_improves_on_bandit_like_balance():
         if ego._last_metrics is not None:
             rets.append(float(ego._last_metrics["entropy"]))
     assert len(rets) >= 2 and np.isfinite(rets[-1])
+
+
+def test_plain_gae_equals_masked_gae_all_active():
+    """plain_gae is the active==ones specialization of active_masked_gae
+    (the r5 associative-scan fast path) — equal on random streams."""
+    import numpy as np
+
+    from madrona_rl_envs_playground_tpu.train.cleanrl_ppo import (
+        Rollout, active_masked_gae, plain_gae)
+
+    rs = np.random.RandomState(3)
+    T, M = 17, 33
+    rew = jnp.asarray(rs.randn(T, M), jnp.float32)
+    dones = jnp.asarray(rs.rand(T, M) < 0.15)
+    vals = jnp.asarray(rs.randn(T, M), jnp.float32)
+    nv = jnp.asarray(rs.randn(M), jnp.float32)
+    nd = jnp.asarray(rs.rand(M) < 0.3)
+    ones = jnp.ones((T, M), bool)
+    buf = Rollout(obs=None, states=None, actions=None, action_masks=None,
+                  logprobs=None, rewards=rew, dones=dones, active=ones,
+                  values=vals)
+    adv_m, ret_m, act = active_masked_gae(buf, nv, nd, jnp.ones((M,), bool),
+                                          0.99, 0.95)
+    adv_p, ret_p = plain_gae(rew, dones, vals, nv, nd, 0.99, 0.95)
+    assert bool(act.all())
+    np.testing.assert_allclose(np.asarray(adv_p), np.asarray(adv_m),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ret_p), np.asarray(ret_m),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_apply_t_matches_net_apply():
+    """The transposed towers (models/cleanrl.apply_t) compute the same
+    logits/values as the flax net on the same params — row vs cols layout
+    only (r5 lane-resident path)."""
+    import numpy as np
+
+    from madrona_rl_envs_playground_tpu.models.cleanrl import (
+        CleanRLNetwork, apply_t, value_t)
+
+    rs = np.random.RandomState(0)
+    B, F, Fs, A = 37, 23, 29, 7
+    net = CleanRLNetwork(num_actions=A, hidden=16, num_layers=2)
+    obs = jnp.asarray(rs.randn(B, F), jnp.float32)
+    st = jnp.asarray(rs.randn(B, Fs), jnp.float32)
+    mask = jnp.asarray(rs.rand(B, A) < 0.7)
+    mask = mask.at[:, 0].set(True)
+    params = net.init(jax.random.PRNGKey(1), obs, st, mask)
+
+    logits_r, value_r = net.apply(params, obs, st, mask)
+    logits_t, value_t_ = apply_t(params, net, obs.T, mask_t=mask.T,
+                                 x_critic=st.T)
+    np.testing.assert_allclose(np.asarray(logits_t.T), np.asarray(logits_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(value_t_), np.asarray(value_r),
+                               rtol=1e-5, atol=1e-5)
+    # value_t (critic-only) agrees too
+    np.testing.assert_allclose(np.asarray(value_t(params, net, st.T)),
+                               np.asarray(value_r), rtol=1e-5, atol=1e-5)
+    # the shared-input default path (state==obs envs) on an equal-size net
+    net2 = CleanRLNetwork(num_actions=A, hidden=16, num_layers=2)
+    p2 = net2.init(jax.random.PRNGKey(2), obs, obs, mask)
+    lg2, v2 = apply_t(p2, net2, obs.T)
+    lg2_ref, v2_ref = net2.apply(p2, obs, obs, None)
+    np.testing.assert_allclose(np.asarray(lg2.T), np.asarray(lg2_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v2_ref),
+                               rtol=1e-5, atol=1e-5)
